@@ -1,0 +1,82 @@
+"""Batching tests: padding invariants and index-offset correctness."""
+
+import numpy as np
+import pytest
+
+from x2gnn_tpu.data.graphs import build_mol_graph
+from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for, batch_iterator
+
+
+def _graphs(make_molecule, k=5):
+    gs = []
+    for i in range(k):
+        numbers, pos = make_molecule()
+        gs.append(build_mol_graph(numbers, pos, y=np.array([float(i)]),
+                                  index=i))
+    return gs
+
+
+def test_pad_graphs_offsets(make_molecule):
+    gs = _graphs(make_molecule, 3)
+    n, e, t = pad_budget_for(gs, batch_size=3)
+    b = pad_graphs(gs, n, e, t)
+    a0 = e0 = 0
+    for gid, g in enumerate(gs):
+        na, ne, nt = g.num_atoms, g.num_edges, g.num_triplets
+        np.testing.assert_array_equal(b.numbers[a0:a0 + na], g.numbers)
+        np.testing.assert_array_equal(
+            b.edge_src[e0:e0 + ne], g.edge_index[0] + a0)
+        np.testing.assert_array_equal(
+            b.edge_dst[e0:e0 + ne], g.edge_index[1] + a0)
+        assert (b.atom_gid[a0:a0 + na] == gid).all()
+        assert (b.edge_gid[e0:e0 + ne] == gid).all()
+        assert b.y[gid] == pytest.approx(g.y[0])
+        a0 += na
+        e0 += ne
+    # padding region
+    assert (b.numbers[a0:] == 0).all()
+    assert b.node_mask.sum() == a0
+    assert b.edge_mask.sum() == e0
+    assert b.graph_mask.sum() == 3
+
+
+def test_pad_graphs_triplet_indices_point_at_real_edges(make_molecule):
+    gs = _graphs(make_molecule, 4)
+    n, e, t = pad_budget_for(gs, batch_size=4)
+    b = pad_graphs(gs, n, e, t)
+    tm = b.trip_mask
+    # real triplets reference real edges, and edge endpoints agree with atoms
+    assert b.edge_mask[b.trip_src_edge[tm]].all()
+    assert b.edge_mask[b.trip_dst_edge[tm]].all()
+    np.testing.assert_array_equal(
+        b.edge_src[b.trip_dst_edge[tm]], b.trip_i[tm])
+    np.testing.assert_array_equal(
+        b.edge_dst[b.trip_dst_edge[tm]], b.trip_j[tm])
+    np.testing.assert_array_equal(
+        b.edge_src[b.trip_src_edge[tm]], b.trip_j[tm])
+    np.testing.assert_array_equal(
+        b.edge_dst[b.trip_src_edge[tm]], b.trip_k[tm])
+
+
+def test_budget_overflow_raises(make_molecule):
+    gs = _graphs(make_molecule, 2)
+    with pytest.raises(ValueError):
+        pad_graphs(gs, 1, 1, 1)
+
+
+def test_batch_iterator_shapes_static(make_molecule):
+    gs = _graphs(make_molecule, 7)
+    batches = list(batch_iterator(gs, batch_size=3))
+    assert len(batches) == 3
+    shapes = {tuple(b.numbers.shape + b.edge_src.shape +
+                    b.trip_src_edge.shape) for b in batches}
+    assert len(shapes) == 1, "all batches must share one static shape"
+    assert batches[-1].graph_mask.sum() == 1  # 7 = 3+3+1
+
+
+def test_batch_iterator_targets_override(make_molecule):
+    gs = _graphs(make_molecule, 4)
+    targets = np.arange(4, dtype=np.float32) * 10
+    batches = list(batch_iterator(gs, batch_size=2, targets=targets))
+    np.testing.assert_allclose(batches[0].y[:2], [0.0, 10.0])
+    np.testing.assert_allclose(batches[1].y[:2], [20.0, 30.0])

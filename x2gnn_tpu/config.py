@@ -1,0 +1,139 @@
+"""Typed configuration for models and training.
+
+The reference uses a flat, unvalidated `config.json` threaded positionally
+into constructors (train_ema.py:22-24), with defaults duplicated and
+inconsistent across constructors (e.g. xgnn.py:16 defaults in_channels=256
+while config.json sets 128). Here defaults live in exactly one place and a
+json file can override them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference: config.json:1-10)."""
+
+    conv_layers: int = 4
+    sbf_dim: int = 7            # number of spherical harmonics l=0..6
+    rbf_dim: int = 6            # radial basis size
+    in_channels: int = 128      # edge (line-graph node) feature width
+    embedding_size: int = 128   # atom embedding width
+    heads: int = 16
+    cutoff: float = 5.0         # Angstrom radius-graph cutoff
+    envelope_exponent: int = 5
+    edge_feat_dim: int = 338    # symmetrized one-electron-integral features
+    # 'atomwise' sums per-atom contributions (extensive targets, U0 etc.,
+    # reference xgnn_poly); 'molwise_mean'/'molwise_add' pool atoms to the
+    # molecule before the MLP (intensive targets, reference xgnn_poly_global).
+    readout: str = "atomwise"
+    mlp_depth: int = 3
+    dropout: float = 0.0
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"   # bfloat16 optional for conv stack
+    # attention layout: 'segment' (COO triplets, parity baseline) or
+    # 'padded' (dense neighbor layout, TPU performance path)
+    attention_layout: str = "segment"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.in_channels % self.heads == 0
+        return self.in_channels // self.heads
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization hyperparameters (reference: config.json:11-30,
+    train_ema.py:40-53, trainer.py:22-48)."""
+
+    target: int = 7                       # QM9 property index (7 = U0)
+    batch_size: int = 32
+    random_seed: int = 41
+    division: Tuple[int, int] = (10000, 20000)  # test / val split boundaries
+
+    max_epoch: int = 800
+    max_lr: float = 1e-3
+    warmup_steps: int = 3000
+    decay_steps: int = 3_000_000
+    decay_rate: float = 0.01
+    grad_clip: bool = True
+    max_grad: float = 100.0
+    ema_decay: float = 0.95
+    loss: str = "smooth_l1"               # trainer.py:41
+    eval_on_ema: bool = True              # trainer.py:57
+    ckpt_after_epoch: int = 100           # trainer.py:95
+
+    # static batch padding budgets (TPU-specific; no reference equivalent).
+    # Defaults fit QM9 at batch_size 32 with the 5 A cutoff.
+    pad_nodes: int = 0        # 0 -> auto: batch_size * 30
+    pad_edges: int = 0        # 0 -> auto: batch_size * 420
+    pad_triplets: int = 0     # 0 -> auto: batch_size * 6200
+
+    def resolved_pads(self) -> Tuple[int, int, int]:
+        n = self.pad_nodes or self.batch_size * 30
+        e = self.pad_edges or self.batch_size * 420
+        t = self.pad_triplets or self.batch_size * 6200
+        return n, e, t
+
+
+_REFERENCE_KEY_MAP = {
+    # reference config.json key -> (dataclass, field)
+    "conv_layers": ("model", "conv_layers"),
+    "sbf_dim": ("model", "sbf_dim"),
+    "rbf_dim": ("model", "rbf_dim"),
+    "in_channels": ("model", "in_channels"),
+    "embedding_size": ("model", "embedding_size"),
+    "heads": ("model", "heads"),
+    "cutoff": ("model", "cutoff"),
+    "target": ("train", "target"),
+    "batch_size": ("train", "batch_size"),
+    "random_seed": ("train", "random_seed"),
+    "division": ("train", "division"),
+    "warmup_steps": ("train", "warmup_steps"),
+    "decay_steps": ("train", "decay_steps"),
+    "max_epoch": ("train", "max_epoch"),
+    "grad_clip": ("train", "grad_clip"),
+    "max_grad": ("train", "max_grad"),
+    "max_lr": ("train", "max_lr"),
+    "decay_rate": ("train", "decay_rate"),
+    "ema_decay": ("train", "ema_decay"),
+}
+
+
+def load_configs(path_or_dict) -> Tuple[ModelConfig, TrainConfig]:
+    """Load (ModelConfig, TrainConfig) from a reference-style flat json.
+
+    Accepts the reference's config.json schema directly so a reference user
+    can bring their config file unchanged. Unknown keys are ignored.
+    """
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        with open(path_or_dict, "rt") as f:
+            raw = json.load(f)
+    model_kw: Dict[str, Any] = {}
+    train_kw: Dict[str, Any] = {}
+    for key, value in raw.items():
+        if key not in _REFERENCE_KEY_MAP:
+            continue
+        which, name = _REFERENCE_KEY_MAP[key]
+        if name == "division":
+            value = tuple(value)
+        (model_kw if which == "model" else train_kw)[name] = value
+    return ModelConfig(**model_kw), TrainConfig(**train_kw)
+
+
+def dump_configs(model: ModelConfig, train: TrainConfig, path: str) -> None:
+    """Archive the full resolved config (reference: trainer.py:85-86)."""
+    payload = {
+        "model": dataclasses.asdict(model),
+        "train": dataclasses.asdict(train),
+    }
+    with open(path, "wt") as f:
+        json.dump(payload, f, indent=1)

@@ -1,0 +1,177 @@
+"""Static-shape graph batching: concatenate + pad to fixed budgets.
+
+This replaces PyG's dynamic `Batch` (used throughout the reference trainer,
+trainer.py:25-27). On TPU every jitted step must have static shapes, so a
+batch of molecules is concatenated and padded to fixed (nodes, edges,
+triplets) budgets. Padding convention:
+
+  * pad atoms have atomic number 0 (the embedding padding index,
+    atom_embedding.py:14) and position 0;
+  * pad edges/triplets carry index 0 everywhere and are excluded via the
+    boolean masks — every segment op in `x2gnn_tpu.ops.segment` masks its
+    inputs, so index-0 slots never receive spurious contributions;
+  * per-entity graph ids (`*_gid`) let graph-wise ops (LayerNorm over a
+    molecule's edges, molecule pooling) run as masked segment ops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from flax import struct
+
+from x2gnn_tpu.data.graphs import MolGraph
+
+
+@struct.dataclass
+class GraphBatch:
+    """A fixed-shape batch of molecular graphs (a pytree of jnp/np arrays).
+
+    Shapes: N = node budget, E = edge budget, T = triplet budget,
+    G = graph budget, F = integral feature dim.
+    """
+
+    numbers: np.ndarray        # (N,) int32, 0 = padding
+    positions: np.ndarray      # (N, 3) float32
+    edge_src: np.ndarray       # (E,) int32 source atom of each edge
+    edge_dst: np.ndarray       # (E,) int32 destination atom
+    edge_feat: np.ndarray      # (E, F) float32
+    trip_src_edge: np.ndarray  # (T,) int32 source edge (j->k)
+    trip_dst_edge: np.ndarray  # (T,) int32 destination edge (i->j)
+    trip_j: np.ndarray         # (T,) int32 media atom
+    trip_i: np.ndarray         # (T,) int32 start atom
+    trip_k: np.ndarray         # (T,) int32 end atom
+    atom_gid: np.ndarray       # (N,) int32 graph id per atom
+    edge_gid: np.ndarray       # (E,) int32 graph id per edge
+    node_mask: np.ndarray      # (N,) bool
+    edge_mask: np.ndarray      # (E,) bool
+    trip_mask: np.ndarray      # (T,) bool
+    y: np.ndarray              # (G,) float32 training target
+    graph_mask: np.ndarray     # (G,) bool
+
+    @property
+    def num_graphs(self) -> int:
+        return int(self.y.shape[0])
+
+
+def pad_budget_for(
+    graphs: Sequence[MolGraph],
+    batch_size: int,
+    multiple: int = 8,
+) -> Tuple[int, int, int]:
+    """Compute (node, edge, triplet) budgets covering every contiguous
+    `batch_size` window of `graphs`, rounded up to `multiple`."""
+    n = np.array([g.num_atoms for g in graphs])
+    e = np.array([g.num_edges for g in graphs])
+    t = np.array([g.num_triplets for g in graphs])
+
+    def window_max(x: np.ndarray) -> int:
+        c = np.concatenate([[0], np.cumsum(x)])
+        if len(x) <= batch_size:
+            return int(c[-1])
+        return int((c[batch_size:] - c[:-batch_size]).max())
+
+    def round_up(v: int) -> int:
+        return ((max(v, 1) + multiple - 1) // multiple) * multiple
+
+    return (round_up(window_max(n)), round_up(window_max(e)),
+            round_up(window_max(t)))
+
+
+def pad_graphs(
+    graphs: Sequence[MolGraph],
+    n_node: int,
+    n_edge: int,
+    n_trip: int,
+    n_graph: Optional[int] = None,
+    targets: Optional[np.ndarray] = None,
+) -> GraphBatch:
+    """Concatenate molecules and pad to static budgets.
+
+    `targets` optionally overrides per-graph scalar targets (shape (G,));
+    otherwise `g.y[0]` is used.
+    """
+    n_graph = n_graph if n_graph is not None else len(graphs)
+    if len(graphs) > n_graph:
+        raise ValueError(f"{len(graphs)} graphs > budget {n_graph}")
+    tot_n = sum(g.num_atoms for g in graphs)
+    tot_e = sum(g.num_edges for g in graphs)
+    tot_t = sum(g.num_triplets for g in graphs)
+    if tot_n > n_node or tot_e > n_edge or tot_t > n_trip:
+        raise ValueError(
+            f"batch ({tot_n} nodes, {tot_e} edges, {tot_t} triplets) exceeds "
+            f"budgets ({n_node}, {n_edge}, {n_trip})")
+
+    feat_dim = graphs[0].edge_feat.shape[1] if graphs else 0
+    numbers = np.zeros(n_node, dtype=np.int32)
+    positions = np.zeros((n_node, 3), dtype=np.float32)
+    edge_src = np.zeros(n_edge, dtype=np.int32)
+    edge_dst = np.zeros(n_edge, dtype=np.int32)
+    edge_feat = np.zeros((n_edge, feat_dim), dtype=np.float32)
+    trip_src_edge = np.zeros(n_trip, dtype=np.int32)
+    trip_dst_edge = np.zeros(n_trip, dtype=np.int32)
+    trip_j = np.zeros(n_trip, dtype=np.int32)
+    trip_i = np.zeros(n_trip, dtype=np.int32)
+    trip_k = np.zeros(n_trip, dtype=np.int32)
+    atom_gid = np.zeros(n_node, dtype=np.int32)
+    edge_gid = np.zeros(n_edge, dtype=np.int32)
+    y = np.zeros(n_graph, dtype=np.float32)
+
+    a0 = e0 = t0 = 0
+    for gid, g in enumerate(graphs):
+        na, ne, nt = g.num_atoms, g.num_edges, g.num_triplets
+        numbers[a0:a0 + na] = g.numbers
+        positions[a0:a0 + na] = g.positions
+        edge_src[e0:e0 + ne] = g.edge_index[0] + a0
+        edge_dst[e0:e0 + ne] = g.edge_index[1] + a0
+        edge_feat[e0:e0 + ne] = g.edge_feat
+        trip_src_edge[t0:t0 + nt] = g.triplet_index[0] + e0
+        trip_dst_edge[t0:t0 + nt] = g.triplet_index[1] + e0
+        trip_j[t0:t0 + nt] = g.atom_j + a0
+        trip_i[t0:t0 + nt] = g.atom_i + a0
+        trip_k[t0:t0 + nt] = g.atom_k + a0
+        atom_gid[a0:a0 + na] = gid
+        edge_gid[e0:e0 + ne] = gid
+        y[gid] = targets[gid] if targets is not None else g.y[0]
+        a0, e0, t0 = a0 + na, e0 + ne, t0 + nt
+
+    node_mask = np.arange(n_node) < a0
+    edge_mask = np.arange(n_edge) < e0
+    trip_mask = np.arange(n_trip) < t0
+    graph_mask = np.arange(n_graph) < len(graphs)
+    return GraphBatch(
+        numbers=numbers, positions=positions,
+        edge_src=edge_src, edge_dst=edge_dst, edge_feat=edge_feat,
+        trip_src_edge=trip_src_edge, trip_dst_edge=trip_dst_edge,
+        trip_j=trip_j, trip_i=trip_i, trip_k=trip_k,
+        atom_gid=atom_gid, edge_gid=edge_gid,
+        node_mask=node_mask, edge_mask=edge_mask, trip_mask=trip_mask,
+        y=y, graph_mask=graph_mask,
+    )
+
+
+def batch_iterator(
+    graphs: Sequence[MolGraph],
+    batch_size: int,
+    budgets: Optional[Tuple[int, int, int]] = None,
+    targets: Optional[np.ndarray] = None,
+    drop_last: bool = False,
+) -> Iterator[GraphBatch]:
+    """Yield fixed-shape GraphBatches over `graphs` in order.
+
+    Order is the caller's responsibility (the reference trainer uses a fixed
+    seed-41 permutation and never reshuffles, trainer.py:22-27).
+    """
+    if budgets is None:
+        budgets = pad_budget_for(graphs, batch_size)
+    n_node, n_edge, n_trip = budgets
+    for lo in range(0, len(graphs), batch_size):
+        chunk = graphs[lo:lo + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            return
+        sub_targets = None
+        if targets is not None:
+            sub_targets = np.asarray(targets[lo:lo + len(chunk)])
+        yield pad_graphs(chunk, n_node, n_edge, n_trip,
+                         n_graph=batch_size, targets=sub_targets)

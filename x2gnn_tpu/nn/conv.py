@@ -1,0 +1,97 @@
+"""Line-graph multi-head attention convolution — the model's hot kernel.
+
+Re-design of SBFTransformerConv (sbftransformer_conv.py:16-166): a
+transformer-style attention over the line graph where, for each triplet
+t = (edge jk -> edge ij):
+
+    key/value source = edge jk, gated by a radial-basis filter;
+    the media atom embedding (projected once by `lin_edge`) is added to BOTH
+    the key and the value (sbftransformer_conv.py:142-158);
+    scores are dot products scaled by 1/sqrt(head_dim), segment-softmaxed
+    over the destination edge (PyG softmax, :150-151);
+    messages are modulated elementwise by the projected 2D spherical basis
+    `lin_sbf(sbf)` (:155-158) and sum-aggregated into the destination edge;
+    a skip projection of the destination features is added (:120-127).
+
+Layouts:
+  * 'segment' — COO triplets + masked segment ops. Parity baseline; the
+    default XLA lowering of the scatter is the 1x denominator for the
+    kernel benchmarks.
+  * 'padded' / Pallas paths live in x2gnn_tpu.ops (wired via `attention_fn`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from x2gnn_tpu.nn.init import glorot_orthogonal
+from x2gnn_tpu.nn.layers import TorchDense
+from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
+
+
+class EdgeAttentionConv(nn.Module):
+    channels: int          # in == out (concat of heads)
+    heads: int = 16
+    dropout: float = 0.0
+    # optional override: fn(q, k, v, sbf_proj, trip_src, trip_dst, mask, E)
+    # -> (E, H, C) aggregated messages; used to swap in Pallas kernels.
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, rbf, sbf, edge_attr, trip_src, trip_dst,
+                 trip_mask=None, deterministic: bool = True):
+        """x: (E, C) line-graph node (= atom-graph edge) features;
+        rbf: (E, K) radial basis per edge; sbf: (T, L*K) per-triplet 2D
+        basis; edge_attr: (T, emb) media-atom embedding per triplet;
+        trip_src/trip_dst: (T,) edge ids (jk / ij)."""
+        num_edges = x.shape[0]
+        H = self.heads
+        C = self.channels // H
+
+        rbf_filter = nn.Dense(
+            self.channels, use_bias=False,
+            kernel_init=glorot_orthogonal(), name="lin_rbf")(rbf)
+        x_src = x * rbf_filter                      # gate K/V source features
+        x_dst = x
+
+        query = TorchDense(self.channels, name="lin_query")(x_dst)
+        key = TorchDense(self.channels, name="lin_key")(x_src)
+        value = TorchDense(self.channels, name="lin_value")(x_src)
+        # one projection of the media-atom embedding, shared by key AND value
+        # (sbftransformer_conv.py:142-158 adds the same tensor to both)
+        eattr = TorchDense(self.channels, use_bias=False,
+                           name="lin_edge")(edge_attr)
+        sbf_proj = nn.Dense(
+            self.channels, use_bias=True,
+            kernel_init=glorot_orthogonal(),
+            bias_init=nn.initializers.zeros, name="lin_sbf")(sbf)
+
+        q = query.reshape(num_edges, H, C)
+        k = key.reshape(num_edges, H, C)
+        v = value.reshape(num_edges, H, C)
+        e = eattr.reshape(-1, H, C)
+        s = sbf_proj.reshape(-1, H, C)
+
+        if self.attention_fn is not None:
+            out = self.attention_fn(q, k, v, e, s, trip_src, trip_dst,
+                                    trip_mask, num_edges)
+        else:
+            q_i = q[trip_dst]                       # (T, H, C)
+            k_j = k[trip_src] + e
+            v_j = v[trip_src] + e
+            alpha = (q_i * k_j).sum(-1) / jnp.sqrt(float(C))   # (T, H) SDDMM
+            alpha = segment_softmax(alpha, trip_dst, num_edges,
+                                    mask=trip_mask)
+            if self.dropout > 0.0 and not deterministic:
+                alpha = nn.Dropout(rate=self.dropout)(
+                    alpha, deterministic=False)
+            msg = v_j * s * alpha[..., None]        # (T, H, C)
+            out = segment_sum(msg, trip_dst, num_edges,
+                              mask=trip_mask)       # SpMM scatter
+        out = out.reshape(num_edges, H * C)
+        out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
+        return out
