@@ -1,0 +1,116 @@
+"""Benchmark: edge-attention kernel throughput (SDDMM + segment softmax +
+SpMM) on the current accelerator.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline = speedup of the best layout over the XLA-default scatter
+(segment) implementation — the reference's torch-scatter/PyG role is played
+by XLA scatter here, and BASELINE.md's north star asks for >= 3x over it.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache — the TPU tunnel compiles remotely and
+    slowly (~minutes per executable); cache hits make reruns instant."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as exc:  # cache is best-effort
+        log(f"compile cache unavailable: {exc}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.ops.attention import segment_attention, padded_attention
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    # QM9-scale batch: 32 molecules, ~18 atoms, 5 A cutoff
+    graphs = synthetic_dataset(32, mean_atoms=18, seed=7)
+    batch = pad_graphs(graphs, pad_budget_for(graphs, 32))
+    E = batch.edge_src.shape[0]
+    T = batch.trip_src_edge.shape[0]
+    real_T = int(batch.trip_mask.sum())
+    H, C = 16, 8
+    log(f"batch: E={E} T={T} (real {real_T}) D={batch.nbr_trip.shape[1]}")
+
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    q = jnp.asarray(rng.normal(size=(E, H, C)), f32)
+    k = jnp.asarray(rng.normal(size=(E, H, C)), f32)
+    v = jnp.asarray(rng.normal(size=(E, H, C)), f32)
+    e = jnp.asarray(rng.normal(size=(T, H, C)), f32)
+    s = jnp.asarray(rng.normal(size=(T, H, C)), f32)
+    trip_src = jnp.asarray(batch.trip_src_edge)
+    trip_dst = jnp.asarray(batch.trip_dst_edge)
+    trip_mask = jnp.asarray(batch.trip_mask)
+    nbr_trip = jnp.asarray(batch.nbr_trip)
+    nbr_src = jnp.asarray(batch.nbr_src)
+    nbr_mask = jnp.asarray(batch.nbr_mask)
+
+    # forward + backward (training-shaped work): grads wrt q/k/v
+    def seg_loss(q, k, v):
+        return (segment_attention(q, k, v, e, s, trip_src, trip_dst,
+                                  trip_mask, E) ** 2).sum()
+
+    def pad_loss(q, k, v):
+        return (padded_attention(q, k, v, e, s, nbr_trip, nbr_src,
+                                 nbr_mask) ** 2).sum()
+
+    seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))
+    pad_step = jax.jit(jax.grad(pad_loss, argnums=(0, 1, 2)))
+
+    t_seg = time_fn(seg_step, q, k, v)
+    log(f"segment (XLA scatter) fwd+bwd: {t_seg * 1e3:.3f} ms "
+        f"-> {real_T / t_seg / 1e6:.1f} M triplets/s")
+    t_pad = time_fn(pad_step, q, k, v)
+    log(f"padded (dense neighbor) fwd+bwd: {t_pad * 1e3:.3f} ms "
+        f"-> {real_T / t_pad / 1e6:.1f} M triplets/s")
+
+    best = min(t_seg, t_pad)
+    result = {
+        "metric": "edge_attention_throughput",
+        "value": round(real_T / best / 1e6, 2),
+        "unit": "M triplet-messages/s/chip (fwd+bwd)",
+        "vs_baseline": round(t_seg / best, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Layout equivalence: padded neighbor-table attention must match the COO
+segment path exactly (same math, different data layout), at the op level
+and through the full model."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from x2gnn_tpu.config import ModelConfig
+from x2gnn_tpu.data.graphs import build_mol_graph
+from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+from x2gnn_tpu.models import X2GNN
+from x2gnn_tpu.ops.attention import segment_attention, padded_attention
+
+CFG = ModelConfig(conv_layers=2, in_channels=32, embedding_size=32, heads=4,
+                  sbf_dim=3, rbf_dim=4, edge_feat_dim=24)
+
+
+def _batch(make_molecule, rng, k=4):
+    gs = []
+    for i in range(k):
+        numbers, pos = make_molecule(n_atoms=int(rng.integers(5, 12)))
+        g = build_mol_graph(numbers, pos, y=np.array([float(i)]),
+                            edge_feat_dim=24)
+        g.edge_feat[:] = rng.normal(size=g.edge_feat.shape).astype(np.float32)
+        gs.append(g)
+    return pad_graphs(gs, pad_budget_for(gs, k))
+
+
+def test_op_level_equivalence(make_molecule, rng):
+    b = _batch(make_molecule, rng)
+    E = b.edge_src.shape[0]
+    T = b.trip_src_edge.shape[0]
+    H, C = 4, 8
+    q = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(T, H, C)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(T, H, C)), jnp.float32)
+
+    seg = segment_attention(q, k, v, e, s,
+                            jnp.asarray(b.trip_src_edge),
+                            jnp.asarray(b.trip_dst_edge),
+                            jnp.asarray(b.trip_mask), E)
+    pad = padded_attention(q, k, v, e, s,
+                           jnp.asarray(b.nbr_trip),
+                           jnp.asarray(b.nbr_src),
+                           jnp.asarray(b.nbr_mask))
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(pad),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_model_level_equivalence(make_molecule, rng):
+    b = _batch(make_molecule, rng)
+    model_seg = X2GNN(dataclasses.replace(CFG, attention_layout="segment"))
+    model_pad = X2GNN(dataclasses.replace(CFG, attention_layout="padded"))
+    params = model_seg.init(jax.random.PRNGKey(0), b)
+    out_seg = np.asarray(model_seg.apply(params, b))
+    out_pad = np.asarray(model_pad.apply(params, b))
+    np.testing.assert_allclose(out_seg, out_pad, rtol=2e-4, atol=1e-5)
+
+
+def test_neighbor_tables_consistent(make_molecule, rng):
+    b = _batch(make_molecule, rng)
+    T = int(b.trip_mask.sum())
+    # every real triplet appears exactly once in the neighbor tables
+    listed = b.nbr_trip[b.nbr_mask]
+    assert sorted(listed.tolist()) == list(range(T))
+    # and in the row of its destination edge with the right source edge
+    rows, cols = np.nonzero(b.nbr_mask)
+    np.testing.assert_array_equal(b.trip_dst_edge[b.nbr_trip[rows, cols]],
+                                  rows)
+    np.testing.assert_array_equal(b.nbr_src[rows, cols],
+                                  b.trip_src_edge[b.nbr_trip[rows, cols]])

@@ -18,8 +18,7 @@ def _graphs(make_molecule, k=5):
 
 def test_pad_graphs_offsets(make_molecule):
     gs = _graphs(make_molecule, 3)
-    n, e, t = pad_budget_for(gs, batch_size=3)
-    b = pad_graphs(gs, n, e, t)
+    b = pad_graphs(gs, pad_budget_for(gs, batch_size=3))
     a0 = e0 = 0
     for gid, g in enumerate(gs):
         na, ne, nt = g.num_atoms, g.num_edges, g.num_triplets
@@ -42,8 +41,7 @@ def test_pad_graphs_offsets(make_molecule):
 
 def test_pad_graphs_triplet_indices_point_at_real_edges(make_molecule):
     gs = _graphs(make_molecule, 4)
-    n, e, t = pad_budget_for(gs, batch_size=4)
-    b = pad_graphs(gs, n, e, t)
+    b = pad_graphs(gs, pad_budget_for(gs, batch_size=4))
     tm = b.trip_mask
     # real triplets reference real edges, and edge endpoints agree with atoms
     assert b.edge_mask[b.trip_src_edge[tm]].all()
@@ -61,7 +59,7 @@ def test_pad_graphs_triplet_indices_point_at_real_edges(make_molecule):
 def test_budget_overflow_raises(make_molecule):
     gs = _graphs(make_molecule, 2)
     with pytest.raises(ValueError):
-        pad_graphs(gs, 1, 1, 1)
+        pad_graphs(gs, (1, 1, 1))
 
 
 def test_batch_iterator_shapes_static(make_molecule):

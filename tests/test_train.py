@@ -1,0 +1,131 @@
+"""Trainer tests: schedule formula, EMA semantics, loss oracle vs torch,
+split reproducibility, checkpoint roundtrip, and a tiny overfit run."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from x2gnn_tpu.config import ModelConfig, TrainConfig
+from x2gnn_tpu.data.graphs import build_mol_graph
+from x2gnn_tpu.models import X2GNN
+from x2gnn_tpu.train.optim import warmup_exponential_decay
+from x2gnn_tpu.train.ema import ema_init, ema_update
+from x2gnn_tpu.train.loss import smooth_l1_loss
+from x2gnn_tpu.train.trainer import Trainer, make_split
+
+TINY_MODEL = ModelConfig(conv_layers=1, in_channels=16, embedding_size=16,
+                         heads=2, sbf_dim=2, rbf_dim=2, edge_feat_dim=12)
+TINY_TRAIN = TrainConfig(batch_size=4, max_lr=5e-3, warmup_steps=5,
+                         decay_steps=10000, ema_decay=0.9,
+                         ckpt_after_epoch=0, division=(2, 4))
+
+
+def test_schedule_matches_reference_formula():
+    sched = warmup_exponential_decay(1e-3, 3000, 3_000_000, 0.01)
+    for step in [0, 1, 100, 2999, 3000, 50000, 3_000_000]:
+        warmup = min(1 / 3000 + step / 3000, 1)
+        decay = 0.01 ** (step / 3_000_000)
+        assert float(sched(step)) == pytest.approx(1e-3 * warmup * decay,
+                                                   rel=1e-6)
+
+
+def test_ema_first_update_copies():
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    ema = ema_init({"w": jnp.asarray([0.0, 0.0])})
+    ema = ema_update(ema, params, decay=0.95)
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), [1.0, 2.0])
+    ema = ema_update(ema, {"w": jnp.asarray([2.0, 3.0])}, decay=0.95)
+    np.testing.assert_allclose(np.asarray(ema.params["w"]),
+                               [0.95 * 1 + 0.05 * 2, 0.95 * 2 + 0.05 * 3],
+                               rtol=1e-6)
+
+
+def test_smooth_l1_vs_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    pred = rng.normal(size=32).astype(np.float32) * 3
+    target = rng.normal(size=32).astype(np.float32)
+    got = float(smooth_l1_loss(jnp.asarray(pred), jnp.asarray(target)))
+    expect = float(F.smooth_l1_loss(torch.tensor(pred),
+                                    torch.tensor(target)))
+    assert got == pytest.approx(expect, rel=1e-6)
+
+
+def test_smooth_l1_masking():
+    pred = jnp.asarray([1.0, 100.0])
+    target = jnp.asarray([1.0, 0.0])
+    mask = jnp.asarray([True, False])
+    assert float(smooth_l1_loss(pred, target, mask)) == pytest.approx(0.0)
+
+
+def test_make_split_matches_reference_permutation():
+    # reference: np.random.seed(41); np.random.permutation(n)
+    np.random.seed(41)
+    perm = np.random.permutation(100)
+    train, val, test = make_split(100, 41, (10, 20))
+    np.testing.assert_array_equal(test, perm[:10])
+    np.testing.assert_array_equal(val, perm[10:20])
+    np.testing.assert_array_equal(train, perm[20:])
+
+
+def _tiny_dataset(make_molecule, rng, k=12):
+    graphs = []
+    for i in range(k):
+        numbers, pos = make_molecule(n_atoms=int(rng.integers(4, 7)))
+        g = build_mol_graph(numbers, pos, y=np.array([0.0]), edge_feat_dim=12)
+        g.edge_feat[:] = rng.normal(size=g.edge_feat.shape).astype(np.float32)
+        graphs.append(g)
+    # target = a simple learnable function: atom count
+    targets = np.array([g.num_atoms for g in graphs], dtype=np.float32)
+    return graphs, targets
+
+
+def test_trainer_overfits_tiny_dataset(make_molecule, rng, tmp_path):
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    model = X2GNN(TINY_MODEL)
+    trainer = Trainer(model, TINY_MODEL, TINY_TRAIN, graphs, targets,
+                      workdir=str(tmp_path / "run"))
+    # NOTE: the train step donates its input state — never reuse a state
+    # object after passing it in; always rebind from the return value.
+    state = trainer.init_state()
+    state, loss0 = trainer.run_epoch(state)
+    for _ in range(30):
+        state, loss = trainer.run_epoch(state)
+    assert loss < loss0 * 0.5, f"loss {loss0} -> {loss}: no learning"
+
+
+def test_trainer_fit_logs_and_checkpoints(make_molecule, rng, tmp_path):
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    model = X2GNN(TINY_MODEL)
+    wd = str(tmp_path / "run2")
+    trainer = Trainer(model, TINY_MODEL, TINY_TRAIN, graphs, targets,
+                      workdir=wd)
+    state, summary = trainer.fit(epochs=3)
+    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(wd, "train.log"))
+    assert summary["best_val_mae"] is not None
+    # checkpoint written (ckpt_after_epoch=0 -> from epoch 1 on improvement)
+    assert os.path.isdir(os.path.join(wd, "ckpt_best"))
+    # restore roundtrip
+    restored = trainer.restore(os.path.join(wd, "ckpt_best"))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_trainer_eval_uses_ema(make_molecule, rng, tmp_path):
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    model = X2GNN(TINY_MODEL)
+    trainer = Trainer(model, TINY_MODEL, TINY_TRAIN, graphs, targets,
+                      workdir=str(tmp_path / "run3"))
+    state = trainer.init_state()
+    state, _ = trainer.run_epoch(state)
+    # after the first epoch, EMA differs from live params (count > 1)
+    diffs = [float(np.abs(np.asarray(e) - np.asarray(p)).max())
+             for e, p in zip(jax.tree_util.tree_leaves(state.ema.params),
+                             jax.tree_util.tree_leaves(state.params))]
+    assert max(diffs) > 0

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Training CLI — the `python train_ema.py` equivalent (train_ema.py:1-59),
+with actual flags, resume, and synthetic-data smoke mode.
+
+Examples:
+  python train.py --config config.json --data ./raw/qm9_origin.xyz
+  python train.py --synthetic 512 --epochs 20 --workdir runs/smoke
+  python train.py --config config.json --data ... --resume runs/u0/ckpt_best
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="reference-style config.json (schema-compatible)")
+    p.add_argument("--data", default=None, help="concatenated xyz file")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic molecules instead of --data")
+    p.add_argument("--target", type=int, default=None,
+                   help="QM9 property index (overrides config)")
+    p.add_argument("--workdir", default="./runs/run0")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None,
+                   help="use only the first N molecules")
+    p.add_argument("--layout", choices=["segment", "padded"],
+                   default="padded")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pyscf", "native", "zero"],
+                   help="integral featurizer backend")
+    p.add_argument("--cache-dir", default="./processed")
+    p.add_argument("--resume", default=None, help="checkpoint to resume")
+    p.add_argument("--ckpt-after-epoch", type=int, default=None,
+                   help="write best-val checkpoints only after this epoch "
+                        "(reference gates at 100, trainer.py:95)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard molecules over all local devices")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from x2gnn_tpu.config import (
+        ModelConfig, TrainConfig, load_configs, dump_configs)
+    from x2gnn_tpu.data.molecule import (
+        EXTENSIVE_TARGETS, report_calibration)
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+
+    if args.config:
+        mcfg, tcfg = load_configs(args.config)
+    else:
+        mcfg, tcfg = ModelConfig(), TrainConfig()
+    if args.target is not None:
+        tcfg = dataclasses.replace(tcfg, target=args.target)
+    if args.epochs is not None:
+        tcfg = dataclasses.replace(tcfg, max_epoch=args.epochs)
+    if args.ckpt_after_epoch is not None:
+        tcfg = dataclasses.replace(tcfg,
+                                   ckpt_after_epoch=args.ckpt_after_epoch)
+
+    # model dispatch by target family (train_ema.py:41-44)
+    readout = ("atomwise" if tcfg.target in EXTENSIVE_TARGETS
+               else "molwise_mean")
+    mcfg = dataclasses.replace(mcfg, readout=readout,
+                               attention_layout=args.layout)
+
+    if args.synthetic:
+        from x2gnn_tpu.data.synthetic import synthetic_dataset
+        import numpy as np
+        graphs = synthetic_dataset(args.synthetic)
+        targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
+        std = 1.0
+    else:
+        if not args.data:
+            print("need --data or --synthetic", file=sys.stderr)
+            return 2
+        from x2gnn_tpu.data.dataset import load_dataset, prepare_targets
+        graphs = load_dataset(args.data, cache_dir=args.cache_dir,
+                              cutoff=mcfg.cutoff, backend=args.backend,
+                              limit=args.limit)
+        targets = prepare_targets(graphs, tcfg.target)
+        std = report_calibration(tcfg.target)
+
+    model = X2GNN(mcfg)
+    trainer = Trainer(model, mcfg, tcfg, graphs, targets,
+                      workdir=args.workdir, std=std)
+    os.makedirs(args.workdir, exist_ok=True)
+    dump_configs(mcfg, tcfg, os.path.join(args.workdir, "args.json"))
+
+    state = None
+    if args.resume:
+        state = trainer.restore(args.resume)
+        print(f"resumed from {args.resume} at step "
+              f"{int(state.step)}", file=sys.stderr)
+
+    _, summary = trainer.fit(epochs=tcfg.max_epoch, state=state)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

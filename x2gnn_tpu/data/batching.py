@@ -16,12 +16,21 @@ triplets) budgets. Padding convention:
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from flax import struct
 
 from x2gnn_tpu.data.graphs import MolGraph
+
+
+class Budgets(NamedTuple):
+    """Static padding budgets shared by every batch of a run."""
+
+    n_node: int
+    n_edge: int
+    n_trip: int
+    n_deg: int   # max triplets per destination edge (neighbor-table width)
 
 
 @struct.dataclass
@@ -49,49 +58,67 @@ class GraphBatch:
     trip_mask: np.ndarray      # (T,) bool
     y: np.ndarray              # (G,) float32 training target
     graph_mask: np.ndarray     # (G,) bool
+    # --- padded neighbor layout (TPU performance path) ---
+    # Per destination edge, the triplets flowing into it, padded to a static
+    # max degree D. Turns segment softmax + scatter into dense masked ops
+    # over (E, D) — regular compute the MXU/VPU can tile.
+    nbr_trip: np.ndarray       # (E, D) int32 triplet ids, 0 = padding
+    nbr_src: np.ndarray        # (E, D) int32 source edge of each triplet
+    nbr_mask: np.ndarray       # (E, D) bool
 
     @property
     def num_graphs(self) -> int:
         return int(self.y.shape[0])
 
 
+def _max_degree(g: MolGraph) -> int:
+    if g.num_triplets == 0:
+        return 0
+    return int(np.bincount(g.triplet_index[1],
+                           minlength=g.num_edges).max())
+
+
 def pad_budget_for(
     graphs: Sequence[MolGraph],
     batch_size: int,
     multiple: int = 8,
-) -> Tuple[int, int, int]:
-    """Compute (node, edge, triplet) budgets covering every contiguous
-    `batch_size` window of `graphs`, rounded up to `multiple`."""
+) -> Budgets:
+    """Compute budgets covering ANY `batch_size`-sized subset of `graphs`
+    (= sum of the batch_size largest per-graph sizes; max over graphs for
+    the per-edge degree), rounded up to `multiple`. Batches are drawn from
+    permuted splits, so the budget must be composition-independent."""
     n = np.array([g.num_atoms for g in graphs])
     e = np.array([g.num_edges for g in graphs])
     t = np.array([g.num_triplets for g in graphs])
 
-    def window_max(x: np.ndarray) -> int:
-        c = np.concatenate([[0], np.cumsum(x)])
-        if len(x) <= batch_size:
-            return int(c[-1])
-        return int((c[batch_size:] - c[:-batch_size]).max())
+    def worst_case(x: np.ndarray) -> int:
+        k = min(batch_size, len(x))
+        return int(np.sort(x)[::-1][:k].sum())
 
     def round_up(v: int) -> int:
         return ((max(v, 1) + multiple - 1) // multiple) * multiple
 
-    return (round_up(window_max(n)), round_up(window_max(e)),
-            round_up(window_max(t)))
+    deg = max((_max_degree(g) for g in graphs), default=1)
+    return Budgets(round_up(worst_case(n)), round_up(worst_case(e)),
+                   round_up(worst_case(t)), round_up(deg))
 
 
 def pad_graphs(
     graphs: Sequence[MolGraph],
-    n_node: int,
-    n_edge: int,
-    n_trip: int,
+    budgets: Union[Budgets, Tuple[int, int, int], Tuple[int, int, int, int]],
     n_graph: Optional[int] = None,
     targets: Optional[np.ndarray] = None,
 ) -> GraphBatch:
     """Concatenate molecules and pad to static budgets.
 
-    `targets` optionally overrides per-graph scalar targets (shape (G,));
-    otherwise `g.y[0]` is used.
+    `budgets` is a Budgets tuple (or a 3/4-tuple; with 3 elements the
+    neighbor-table width is derived from these graphs). `targets` optionally
+    overrides per-graph scalar targets (shape (G,)); otherwise `g.y[0]`.
     """
+    if len(budgets) == 3:
+        deg = max((_max_degree(g) for g in graphs), default=1)
+        budgets = Budgets(*budgets, ((deg + 7) // 8) * 8)
+    n_node, n_edge, n_trip, n_deg = budgets
     n_graph = n_graph if n_graph is not None else len(graphs)
     if len(graphs) > n_graph:
         raise ValueError(f"{len(graphs)} graphs > budget {n_graph}")
@@ -140,6 +167,25 @@ def pad_graphs(
     edge_mask = np.arange(n_edge) < e0
     trip_mask = np.arange(n_trip) < t0
     graph_mask = np.arange(n_graph) < len(graphs)
+
+    # --- neighbor tables: triplets grouped by destination edge ---
+    # trip_dst_edge[:t0] is globally nondecreasing (dst-sorted per graph +
+    # increasing graph offsets), so each segment occupies contiguous slots.
+    nbr_trip = np.zeros((n_edge, n_deg), dtype=np.int32)
+    nbr_mask = np.zeros((n_edge, n_deg), dtype=bool)
+    if t0 > 0:
+        dsts = trip_dst_edge[:t0]
+        counts = np.bincount(dsts, minlength=n_edge)
+        max_deg = int(counts.max())
+        if max_deg > n_deg:
+            raise ValueError(
+                f"max triplets/edge {max_deg} exceeds degree budget {n_deg}")
+        seg_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(t0) - seg_start[dsts]
+        nbr_trip[dsts, pos] = np.arange(t0)
+        nbr_mask[dsts, pos] = True
+    nbr_src = trip_src_edge[nbr_trip]
+
     return GraphBatch(
         numbers=numbers, positions=positions,
         edge_src=edge_src, edge_dst=edge_dst, edge_feat=edge_feat,
@@ -148,13 +194,14 @@ def pad_graphs(
         atom_gid=atom_gid, edge_gid=edge_gid,
         node_mask=node_mask, edge_mask=edge_mask, trip_mask=trip_mask,
         y=y, graph_mask=graph_mask,
+        nbr_trip=nbr_trip, nbr_src=nbr_src, nbr_mask=nbr_mask,
     )
 
 
 def batch_iterator(
     graphs: Sequence[MolGraph],
     batch_size: int,
-    budgets: Optional[Tuple[int, int, int]] = None,
+    budgets: Optional[Budgets] = None,
     targets: Optional[np.ndarray] = None,
     drop_last: bool = False,
 ) -> Iterator[GraphBatch]:
@@ -165,7 +212,10 @@ def batch_iterator(
     """
     if budgets is None:
         budgets = pad_budget_for(graphs, batch_size)
-    n_node, n_edge, n_trip = budgets
+    if len(budgets) == 3:
+        budgets = Budgets(*budgets, 0)
+        deg = max((_max_degree(g) for g in graphs), default=1)
+        budgets = budgets._replace(n_deg=((deg + 7) // 8) * 8)
     for lo in range(0, len(graphs), batch_size):
         chunk = graphs[lo:lo + batch_size]
         if drop_last and len(chunk) < batch_size:
@@ -173,5 +223,5 @@ def batch_iterator(
         sub_targets = None
         if targets is not None:
             sub_targets = np.asarray(targets[lo:lo + len(chunk)])
-        yield pad_graphs(chunk, n_node, n_edge, n_trip,
+        yield pad_graphs(chunk, budgets,
                          n_graph=batch_size, targets=sub_targets)

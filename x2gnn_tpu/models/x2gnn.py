@@ -113,10 +113,14 @@ class X2GNN(nn.Module):
             res0 = out
             out = EdgeAttentionConv(
                 cfg.in_channels, cfg.heads, cfg.dropout,
+                layout=cfg.attention_layout,
                 name=f"conv_{i}")(
                     out, node_rbf, sbf, edge_attr,
                     batch.trip_src_edge, batch.trip_dst_edge,
-                    trip_mask=trip_mask, deterministic=deterministic)
+                    trip_mask=trip_mask,
+                    nbr_trip=batch.nbr_trip, nbr_src=batch.nbr_src,
+                    nbr_mask=batch.nbr_mask,
+                    deterministic=deterministic)
             out = GraphLayerNorm(name=f"norm_{i}")(
                 out, batch.edge_gid, num_graphs, mask=edge_mask)
             out = ResidualLayer(cfg.in_channels, name=f"bf_skip_{i}")(out)

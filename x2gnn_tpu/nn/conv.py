@@ -30,6 +30,7 @@ import flax.linen as nn
 
 from x2gnn_tpu.nn.init import glorot_orthogonal
 from x2gnn_tpu.nn.layers import TorchDense
+from x2gnn_tpu.ops.attention import padded_attention, segment_attention
 from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
 
 
@@ -37,13 +38,18 @@ class EdgeAttentionConv(nn.Module):
     channels: int          # in == out (concat of heads)
     heads: int = 16
     dropout: float = 0.0
-    # optional override: fn(q, k, v, sbf_proj, trip_src, trip_dst, mask, E)
-    # -> (E, H, C) aggregated messages; used to swap in Pallas kernels.
+    # 'segment' = COO triplets + masked segment ops (parity baseline);
+    # 'padded' = dense neighbor-table attention (TPU performance path,
+    # requires nbr_* arrays from the batch)
+    layout: str = "segment"
+    # optional override: fn(q, k, v, e_proj, s_proj, trip_src, trip_dst,
+    # mask, E) -> (E, H, C); used to swap in Pallas kernels.
     attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, rbf, sbf, edge_attr, trip_src, trip_dst,
-                 trip_mask=None, deterministic: bool = True):
+                 trip_mask=None, nbr_trip=None, nbr_src=None, nbr_mask=None,
+                 deterministic: bool = True):
         """x: (E, C) line-graph node (= atom-graph edge) features;
         rbf: (E, K) radial basis per edge; sbf: (T, L*K) per-triplet 2D
         basis; edge_attr: (T, emb) media-atom embedding per triplet;
@@ -79,16 +85,20 @@ class EdgeAttentionConv(nn.Module):
         if self.attention_fn is not None:
             out = self.attention_fn(q, k, v, e, s, trip_src, trip_dst,
                                     trip_mask, num_edges)
+        elif self.layout == "padded":
+            assert nbr_trip is not None, "padded layout needs nbr_* arrays"
+            out = padded_attention(q, k, v, e, s, nbr_trip, nbr_src,
+                                   nbr_mask)
         else:
             q_i = q[trip_dst]                       # (T, H, C)
             k_j = k[trip_src] + e
-            v_j = v[trip_src] + e
             alpha = (q_i * k_j).sum(-1) / jnp.sqrt(float(C))   # (T, H) SDDMM
             alpha = segment_softmax(alpha, trip_dst, num_edges,
                                     mask=trip_mask)
             if self.dropout > 0.0 and not deterministic:
                 alpha = nn.Dropout(rate=self.dropout)(
                     alpha, deterministic=False)
+            v_j = v[trip_src] + e
             msg = v_j * s * alpha[..., None]        # (T, H, C)
             out = segment_sum(msg, trip_dst, num_edges,
                               mask=trip_mask)       # SpMM scatter

@@ -118,8 +118,10 @@ class EmbeddingBlock(nn.Module):
 
         table = self.param(
             "embedding", embed_init, (self.vocab, self.embedding_size))
-        norms = jnp.linalg.norm(table, axis=-1, keepdims=True)
-        table = table * jnp.minimum(1.0, self.max_norm / (norms + 1e-12))
+        # safe norm: row 0 is all-zero (padding) and d||x||/dx = x/||x|| is
+        # NaN at 0 — keep the sqrt away from zero so gradients stay finite
+        norms = jnp.sqrt(jnp.sum(table * table, -1, keepdims=True) + 1e-24)
+        table = table * jnp.minimum(1.0, self.max_norm / norms)
         if self.scale_grad_by_freq:
             h = _freq_scaled_lookup(table, numbers)
         else:

@@ -1,0 +1,3 @@
+from x2gnn_tpu.parallel.mesh import make_mesh, device_count  # noqa: F401
+from x2gnn_tpu.parallel.data_parallel import (  # noqa: F401
+    stack_batches, shard_batches, make_dp_train_step, make_dp_eval_step)

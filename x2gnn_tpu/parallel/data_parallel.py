@@ -1,0 +1,96 @@
+"""Molecule-level data parallelism over a `jax.sharding.Mesh`.
+
+Design: the unit of sharding is the *molecule*, not a raw array axis —
+graph index arrays are intra-batch-local, so sharding a flat GraphBatch
+along nodes/edges would break index locality. Instead, D per-device
+GraphBatches (identical static shapes) are stacked on a leading device
+axis and `shard_map`ped over the 'data' mesh axis; each device computes its
+own graphs and gradients are `pmean`ed over ICI. Parameters, optimizer and
+EMA state are replicated.
+
+This is the TPU replacement for the DP the reference never had
+(SURVEY §2.3); the NCCL-free collective path is compiled by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from x2gnn_tpu.data.batching import GraphBatch
+from x2gnn_tpu.train.ema import ema_update
+from x2gnn_tpu.train.loss import smooth_l1_loss, masked_mae
+
+
+def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack D same-shape GraphBatches onto a leading device axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+
+
+def shard_batches(batches: Sequence[GraphBatch], mesh: Mesh) -> GraphBatch:
+    """Stack and lay out a stacked batch so the device axis lands on the
+    'data' mesh axis."""
+    stacked = stack_batches(batches)
+    sharding = jax.sharding.NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), stacked)
+
+
+def make_dp_train_step(model, optimizer, ema_decay: float,
+                       mesh: Mesh) -> Callable:
+    """Jitted data-parallel train step.
+
+    state: replicated TrainState; batch: stacked (D, ...) GraphBatch sharded
+    on 'data'. Returns (state, mean loss).
+    """
+
+    def per_device(state, batch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # (1,...)->()
+
+        def loss_fn(params):
+            pred = model.apply(params, batch)
+            return smooth_l1_loss(pred, batch.y, mask=batch.graph_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        ema = ema_update(state.ema, params, ema_decay)
+        new_state = state._replace(params=params, opt_state=opt_state,
+                                   ema=ema, step=state.step + 1)
+        return new_state, loss
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_dp_eval_step(model, mesh: Mesh, std: float = 1.0) -> Callable:
+    """Jitted data-parallel eval: returns (sum abs err * std, graph count)
+    psummed over devices."""
+
+    def per_device(ema_params, batch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        pred = model.apply(ema_params, batch)
+        err = masked_mae(pred, batch.y, mask=batch.graph_mask, scale=std)
+        cnt = batch.graph_mask.sum().astype(jnp.float32)
+        return (jax.lax.psum(err, "data"), jax.lax.psum(cnt, "data"))
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
