@@ -55,7 +55,8 @@ def main():
     from x2gnn_tpu.config import ModelConfig
     from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
     from x2gnn_tpu.data.synthetic import synthetic_dataset
-    from x2gnn_tpu.ops.attention import segment_attention, padded_attention
+    from x2gnn_tpu.ops.attention import (
+        blocked_attention, segment_attention, padded_attention)
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -92,8 +93,31 @@ def main():
         return (padded_attention(q, k, v, e, s, nbr_trip, nbr_src,
                                  nbr_mask) ** 2).sum()
 
+    # atom-blocked layout inputs
+    N = batch.numbers.shape[0]
+    D = batch.in_edges.shape[1]
+    L = 7
+    e_atom = jnp.asarray(rng.normal(size=(N, H, C)), f32)
+    G = jnp.asarray(rng.normal(size=(E, L, H, C)), f32)
+    s_bias = jnp.asarray(rng.normal(size=(H, C)), f32)
+    cbf = jnp.asarray(rng.normal(size=(N, D, D, L)), f32)
+    in_edges = jnp.asarray(batch.in_edges)
+    out_edges = jnp.asarray(batch.out_edges)
+    in_src = batch.edge_src[batch.in_edges]
+    out_dst = batch.edge_dst[batch.out_edges]
+    pair_mask = jnp.asarray(
+        batch.in_mask[:, :, None] & batch.out_mask[:, None, :]
+        & (in_src[:, :, None] != out_dst[:, None, :]))
+    edge_inpos = jnp.asarray(batch.edge_inpos)
+
+    def blk_loss(q, k, v):
+        return (blocked_attention(q, k, v, e_atom, G, s_bias, cbf,
+                                  in_edges, out_edges, pair_mask,
+                                  edge_inpos) ** 2).sum()
+
     seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))
     pad_step = jax.jit(jax.grad(pad_loss, argnums=(0, 1, 2)))
+    blk_step = jax.jit(jax.grad(blk_loss, argnums=(0, 1, 2)))
 
     t_seg = time_fn(seg_step, q, k, v)
     log(f"segment (XLA scatter) fwd+bwd: {t_seg * 1e3:.3f} ms "
@@ -101,8 +125,11 @@ def main():
     t_pad = time_fn(pad_step, q, k, v)
     log(f"padded (dense neighbor) fwd+bwd: {t_pad * 1e3:.3f} ms "
         f"-> {real_T / t_pad / 1e6:.1f} M triplets/s")
+    t_blk = time_fn(blk_step, q, k, v)
+    log(f"blocked (atom-dense) fwd+bwd: {t_blk * 1e3:.3f} ms "
+        f"-> {real_T / t_blk / 1e6:.1f} M triplets/s")
 
-    best = min(t_seg, t_pad)
+    best = min(t_seg, t_pad, t_blk)
     result = {
         "metric": "edge_attention_throughput",
         "value": round(real_T / best / 1e6, 2),

@@ -62,6 +62,43 @@ def test_model_level_equivalence(make_molecule, rng):
     np.testing.assert_allclose(out_seg, out_pad, rtol=2e-4, atol=1e-5)
 
 
+def test_blocked_model_equivalence(make_molecule, rng):
+    """Atom-blocked layout must match the segment layout with the SAME
+    parameter tree (init with one, apply with the other)."""
+    b = _batch(make_molecule, rng)
+    model_seg = X2GNN(dataclasses.replace(CFG, attention_layout="segment"))
+    model_blk = X2GNN(dataclasses.replace(CFG, attention_layout="blocked"))
+    params = model_seg.init(jax.random.PRNGKey(0), b)
+    # same param tree structure
+    params_blk = model_blk.init(jax.random.PRNGKey(0), b)
+    a = jax.tree_util.tree_structure(params)
+    btree = jax.tree_util.tree_structure(params_blk)
+    assert a == btree, "parameter trees must be interchangeable"
+    out_seg = np.asarray(model_seg.apply(params, b))
+    out_blk = np.asarray(model_blk.apply(params, b))
+    np.testing.assert_allclose(out_seg, out_blk, rtol=5e-4, atol=5e-5)
+
+
+def test_blocked_tables_consistent(make_molecule, rng):
+    b = _batch(make_molecule, rng)
+    em = b.edge_mask
+    # every real edge appears exactly once in the in-table and out-table
+    in_listed = b.in_edges[b.in_mask]
+    out_listed = b.out_edges[b.out_mask]
+    E_real = int(em.sum())
+    assert sorted(in_listed.tolist()) == list(range(E_real))
+    assert sorted(out_listed.tolist()) == list(range(E_real))
+    rows, cols = np.nonzero(b.in_mask)
+    np.testing.assert_array_equal(b.edge_dst[b.in_edges[rows, cols]], rows)
+    rows, cols = np.nonzero(b.out_mask)
+    np.testing.assert_array_equal(b.edge_src[b.out_edges[rows, cols]], rows)
+    # edge_inpos inverts the in-table
+    D = b.in_edges.shape[1]
+    flat = b.in_edges.reshape(-1)
+    for e in np.nonzero(em)[0][:50]:
+        assert flat[b.edge_inpos[e]] == e
+
+
 def test_neighbor_tables_consistent(make_molecule, rng):
     b = _batch(make_molecule, rng)
     T = int(b.trip_mask.sum())

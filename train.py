@@ -30,8 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--limit", type=int, default=None,
                    help="use only the first N molecules")
-    p.add_argument("--layout", choices=["segment", "padded"],
-                   default="padded")
+    p.add_argument("--layout",
+                   choices=["segment", "padded", "blocked"],
+                   default="blocked")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pyscf", "native", "zero"],
                    help="integral featurizer backend")

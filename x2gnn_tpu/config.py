@@ -37,8 +37,9 @@ class ModelConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # bfloat16 optional for conv stack
-    # attention layout: 'segment' (COO triplets, parity baseline) or
-    # 'padded' (dense neighbor layout, TPU performance path)
+    # attention layout: 'segment' (COO triplets, parity baseline),
+    # 'padded' (dense per-dst-edge neighbor tables), or 'blocked'
+    # (atom-blocked dense attention — fastest; see ops/attention.py)
     attention_layout: str = "segment"
 
     @property

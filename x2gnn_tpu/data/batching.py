@@ -65,6 +65,19 @@ class GraphBatch:
     nbr_trip: np.ndarray       # (E, D) int32 triplet ids, 0 = padding
     nbr_src: np.ndarray        # (E, D) int32 source edge of each triplet
     nbr_mask: np.ndarray       # (E, D) bool
+    # --- atom-blocked layout (fastest path) ---
+    # All triplets of a destination edge (i->j) draw K/V from the out-edges
+    # of the shared media atom j, and the per-triplet edge_attr is a pure
+    # function of j (xgnn.py:57-58). Blocking by atom j turns the whole
+    # conv into per-atom dense (deg x deg) attention with NO
+    # triplet-indexed tensors: Q rows = in-edges of j, K/V rows = out-edges
+    # of j, backtracking (atom_i == atom_k) masked in-model.
+    in_edges: np.ndarray       # (N, D) int32 edge ids with dst atom = n
+    in_mask: np.ndarray        # (N, D) bool
+    out_edges: np.ndarray      # (N, D) int32 edge ids with src atom = n
+    out_mask: np.ndarray       # (N, D) bool
+    edge_inpos: np.ndarray     # (E,) int32 flat n*D+slot of each edge in
+                               # the in-table (blocked -> E-layout gather)
 
     @property
     def num_graphs(self) -> int:
@@ -72,10 +85,13 @@ class GraphBatch:
 
 
 def _max_degree(g: MolGraph) -> int:
-    if g.num_triplets == 0:
+    """Max atom degree — bounds both triplets-per-dst-edge (= deg(j) - 1)
+    and the atom in/out table widths (= deg)."""
+    if g.num_edges == 0:
         return 0
-    return int(np.bincount(g.triplet_index[1],
-                           minlength=g.num_edges).max())
+    return int(max(
+        np.bincount(g.edge_index[0], minlength=g.num_atoms).max(),
+        np.bincount(g.edge_index[1], minlength=g.num_atoms).max()))
 
 
 def pad_budget_for(
@@ -186,6 +202,37 @@ def pad_graphs(
         nbr_mask[dsts, pos] = True
     nbr_src = trip_src_edge[nbr_trip]
 
+    # --- atom-level in/out edge tables ---
+    in_edges = np.zeros((n_node, n_deg), dtype=np.int32)
+    in_mask_t = np.zeros((n_node, n_deg), dtype=bool)
+    out_edges = np.zeros((n_node, n_deg), dtype=np.int32)
+    out_mask_t = np.zeros((n_node, n_deg), dtype=bool)
+    edge_inpos = np.zeros(n_edge, dtype=np.int32)
+    if e0 > 0:
+        real_dst = edge_dst[:e0]
+        real_src = edge_src[:e0]
+        # in-table: group edges by dst atom (stable order)
+        order = np.argsort(real_dst, kind="stable")
+        counts = np.bincount(real_dst, minlength=n_node)
+        if counts.max() > n_deg:
+            raise ValueError(
+                f"max atom degree {counts.max()} exceeds budget {n_deg}")
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        slot = np.arange(e0) - starts[real_dst[order]]
+        in_edges[real_dst[order], slot] = order
+        in_mask_t[real_dst[order], slot] = True
+        edge_inpos[order] = (real_dst[order] * n_deg + slot).astype(np.int32)
+        # out-table: group edges by src atom
+        order_s = np.argsort(real_src, kind="stable")
+        counts_s = np.bincount(real_src, minlength=n_node)
+        if counts_s.max() > n_deg:
+            raise ValueError(
+                f"max atom out-degree {counts_s.max()} exceeds {n_deg}")
+        starts_s = np.concatenate([[0], np.cumsum(counts_s)])[:-1]
+        slot_s = np.arange(e0) - starts_s[real_src[order_s]]
+        out_edges[real_src[order_s], slot_s] = order_s
+        out_mask_t[real_src[order_s], slot_s] = True
+
     return GraphBatch(
         numbers=numbers, positions=positions,
         edge_src=edge_src, edge_dst=edge_dst, edge_feat=edge_feat,
@@ -195,6 +242,8 @@ def pad_graphs(
         node_mask=node_mask, edge_mask=edge_mask, trip_mask=trip_mask,
         y=y, graph_mask=graph_mask,
         nbr_trip=nbr_trip, nbr_src=nbr_src, nbr_mask=nbr_mask,
+        in_edges=in_edges, in_mask=in_mask_t,
+        out_edges=out_edges, out_mask=out_mask_t, edge_inpos=edge_inpos,
     )
 
 

@@ -29,12 +29,13 @@ import flax.linen as nn
 
 from x2gnn_tpu.config import ModelConfig
 from x2gnn_tpu.data.batching import GraphBatch
-from x2gnn_tpu.nn.conv import EdgeAttentionConv
+from x2gnn_tpu.nn.conv import BlockedEdgeAttentionConv, EdgeAttentionConv
 from x2gnn_tpu.nn.layers import (
     Dense, EmbeddingBlock, RadialBasisLayer, ResidualLayer)
 from x2gnn_tpu.nn.norm import GraphLayerNorm
 from x2gnn_tpu.nn.readout import AtomWiseReadout, MolWiseReadout
-from x2gnn_tpu.ops.basis import poly_envelope, sbf_2d
+from x2gnn_tpu.ops.basis import (
+    legendre_cos_harmonics, poly_envelope, sbf_2d, sbf_radial_part)
 from x2gnn_tpu.ops.segment import segment_sum
 
 
@@ -60,12 +61,7 @@ class X2GNN(nn.Module):
         env = poly_envelope(d_safe, cfg.cutoff, cfg.envelope_exponent)
         env = jnp.where(edge_mask, env, 0.0)[:, None]       # (E, 1)
 
-        ji = pos[batch.trip_i] - pos[batch.trip_j]
-        jk = pos[batch.trip_k] - pos[batch.trip_j]
-        cos_a = (ji * jk).sum(-1)
-        sin_a = jnp.sqrt(
-            jnp.maximum((jnp.cross(ji, jk) ** 2).sum(-1), 1e-24))
-        theta = jnp.arctan2(sin_a, cos_a)  # atan2 avoids acos NaN, xgnn.py:65
+        blocked = cfg.attention_layout == "blocked"
 
         # ---- featurization (xgnn.py:54-70) ----
         neo_x = batch.edge_feat * env
@@ -75,20 +71,51 @@ class X2GNN(nn.Module):
 
         atom_emb = EmbeddingBlock(cfg.embedding_size,
                                   name="emb_block")(batch.numbers)
-        trip_edge_attr = atom_emb[batch.trip_j]              # (T, emb)
-
-        sbf = sbf_2d(d_safe, theta, batch.trip_src_edge,
-                     cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
-                     cfg.envelope_exponent, edge_mask=edge_mask)  # (T, L*K)
 
         node_rbf = RadialBasisLayer(cfg.rbf_dim, cfg.cutoff,
                                     name="rbf_layer")(d_safe)
         node_rbf = node_rbf * env                            # (E, K)
 
-        # ---- core stack (model.py:38-54) ----
-        edge_attr = Dense(cfg.embedding_size, name="edgenn_0")(trip_edge_attr)
-        edge_attr = jax.nn.silu(edge_attr)
-        edge_attr = Dense(cfg.embedding_size, name="edgenn_1")(edge_attr)
+        def edgenn(h):
+            h = jax.nn.silu(Dense(cfg.embedding_size, name="edgenn_0")(h))
+            return Dense(cfg.embedding_size, name="edgenn_1")(h)
+
+        if blocked:
+            # per-triplet edge_attr is a pure function of the media atom
+            # (xgnn.py:57-58) -> run the edgenn MLP once per atom
+            edge_attr = edgenn(atom_emb)                     # (N, emb)
+            rbf_env = sbf_radial_part(
+                d_safe, cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
+                cfg.envelope_exponent, edge_mask)            # (E, L, K)
+            # per-atom pair geometry: angles between in- and out-edges
+            in_src = batch.edge_src[batch.in_edges]          # (N, D)
+            out_dst = batch.edge_dst[batch.out_edges]        # (N, D)
+            ji = pos[in_src] - pos[:, None, :]               # (N, D, 3)
+            jk = pos[out_dst] - pos[:, None, :]
+            cos_a = jnp.einsum("nid,nkd->nik", ji, jk)
+            cross = jnp.cross(ji[:, :, None, :], jk[:, None, :, :])
+            sin_a = jnp.sqrt(
+                jnp.maximum((cross ** 2).sum(-1), 1e-24))
+            theta = jnp.arctan2(sin_a, cos_a)                # (N, D, D)
+            cbf = legendre_cos_harmonics(theta, cfg.sbf_dim)  # (N, D, D, L)
+            pair_mask = (batch.in_mask[:, :, None]
+                         & batch.out_mask[:, None, :]
+                         & (in_src[:, :, None] != out_dst[:, None, :]))
+            sbf = None
+        else:
+            ji = pos[batch.trip_i] - pos[batch.trip_j]
+            jk = pos[batch.trip_k] - pos[batch.trip_j]
+            cos_a = (ji * jk).sum(-1)
+            sin_a = jnp.sqrt(
+                jnp.maximum((jnp.cross(ji, jk) ** 2).sum(-1), 1e-24))
+            # atan2 avoids acos NaN (xgnn.py:65)
+            theta = jnp.arctan2(sin_a, cos_a)
+            sbf = sbf_2d(d_safe, theta, batch.trip_src_edge,
+                         cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
+                         cfg.envelope_exponent,
+                         edge_mask=edge_mask)                # (T, L*K)
+            trip_edge_attr = atom_emb[batch.trip_j]          # (T, emb)
+            edge_attr = edgenn(trip_edge_attr)
 
         def readout(i: int):
             if cfg.readout == "atomwise":
@@ -111,16 +138,25 @@ class X2GNN(nn.Module):
         results = run_readout(0, out)
         for i in range(cfg.conv_layers):
             res0 = out
-            out = EdgeAttentionConv(
-                cfg.in_channels, cfg.heads, cfg.dropout,
-                layout=cfg.attention_layout,
-                name=f"conv_{i}")(
-                    out, node_rbf, sbf, edge_attr,
-                    batch.trip_src_edge, batch.trip_dst_edge,
-                    trip_mask=trip_mask,
-                    nbr_trip=batch.nbr_trip, nbr_src=batch.nbr_src,
-                    nbr_mask=batch.nbr_mask,
-                    deterministic=deterministic)
+            if blocked:
+                out = BlockedEdgeAttentionConv(
+                    cfg.in_channels, cfg.heads,
+                    sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
+                    name=f"conv_{i}")(
+                        out, node_rbf, rbf_env, cbf, edge_attr,
+                        batch.in_edges, batch.out_edges, pair_mask,
+                        batch.edge_inpos)
+            else:
+                out = EdgeAttentionConv(
+                    cfg.in_channels, cfg.heads, cfg.dropout,
+                    layout=cfg.attention_layout,
+                    name=f"conv_{i}")(
+                        out, node_rbf, sbf, edge_attr,
+                        batch.trip_src_edge, batch.trip_dst_edge,
+                        trip_mask=trip_mask,
+                        nbr_trip=batch.nbr_trip, nbr_src=batch.nbr_src,
+                        nbr_mask=batch.nbr_mask,
+                        deterministic=deterministic)
             out = GraphLayerNorm(name=f"norm_{i}")(
                 out, batch.edge_gid, num_graphs, mask=edge_mask)
             out = ResidualLayer(cfg.in_channels, name=f"bf_skip_{i}")(out)

@@ -30,8 +30,26 @@ import flax.linen as nn
 
 from x2gnn_tpu.nn.init import glorot_orthogonal
 from x2gnn_tpu.nn.layers import TorchDense
-from x2gnn_tpu.ops.attention import padded_attention, segment_attention
+from x2gnn_tpu.ops.attention import (
+    blocked_attention, padded_attention, segment_attention)
 from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
+
+
+class _LinearParams(nn.Module):
+    """Holds a (kernel, bias) pair with the SAME param-tree layout as
+    nn.Dense, for layouts that contract the weights inside a fused kernel
+    instead of applying a plain dense layer."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", glorot_orthogonal(),
+                            (self.features_in, self.features_out))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features_out,))
+        return kernel, bias
 
 
 class EdgeAttentionConv(nn.Module):
@@ -102,6 +120,55 @@ class EdgeAttentionConv(nn.Module):
             msg = v_j * s * alpha[..., None]        # (T, H, C)
             out = segment_sum(msg, trip_dst, num_edges,
                               mask=trip_mask)       # SpMM scatter
+        out = out.reshape(num_edges, H * C)
+        out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
+        return out
+
+
+class BlockedEdgeAttentionConv(nn.Module):
+    """Atom-blocked layout of EdgeAttentionConv (see
+    ops.attention.blocked_attention). Identical math and an identical
+    parameter tree (init with one layout, apply with any other)."""
+
+    channels: int
+    heads: int = 16
+    sbf_l: int = 7     # num_spherical
+    sbf_k: int = 6     # num_radial
+
+    @nn.compact
+    def __call__(self, x, rbf, rbf_env, cbf, atom_edge_attr,
+                 in_edges, out_edges, pair_mask, edge_inpos):
+        """x: (E, C); rbf: (E, K); rbf_env: (E, L, K) radial sbf factor;
+        cbf: (N, D, D, L) angular factor; atom_edge_attr: (N, emb)."""
+        num_edges = x.shape[0]
+        H = self.heads
+        C = self.channels // H
+        L, K = self.sbf_l, self.sbf_k
+
+        rbf_filter = nn.Dense(
+            self.channels, use_bias=False,
+            kernel_init=glorot_orthogonal(), name="lin_rbf")(rbf)
+        x_src = x * rbf_filter
+        x_dst = x
+
+        q = TorchDense(self.channels, name="lin_query")(x_dst)
+        k = TorchDense(self.channels, name="lin_key")(x_src)
+        v = TorchDense(self.channels, name="lin_value")(x_src)
+        e_atom = TorchDense(self.channels, use_bias=False,
+                            name="lin_edge")(atom_edge_attr)
+        w_sbf, b_sbf = _LinearParams(L * K, self.channels,
+                                     name="lin_sbf")()
+        # factored sbf projection: G[e, l, h, c] = sum_n W[l, n] rbf_env
+        G = jnp.einsum("elk,lkf->elf", rbf_env,
+                       w_sbf.reshape(L, K, self.channels))
+        out = blocked_attention(
+            q.reshape(num_edges, H, C),
+            k.reshape(num_edges, H, C),
+            v.reshape(num_edges, H, C),
+            e_atom.reshape(-1, H, C),
+            G.reshape(num_edges, L, H, C),
+            b_sbf.reshape(H, C),
+            cbf, in_edges, out_edges, pair_mask, edge_inpos)
         out = out.reshape(num_edges, H * C)
         out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
         return out

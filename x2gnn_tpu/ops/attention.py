@@ -34,6 +34,52 @@ def segment_attention(q, k, v, e, s, trip_src, trip_dst, trip_mask,
     return segment_sum(msg, trip_dst, num_edges, mask=trip_mask)
 
 
+def blocked_attention(q, k, v, e_atom, G, s_bias, cbf,
+                      in_edges, out_edges, pair_mask, edge_inpos):
+    """Atom-blocked dense attention — the fastest layout.
+
+    All triplets whose destination edge is (i -> j) share media atom j:
+    their K/V sources are exactly j's out-edges, and the reference's
+    per-triplet edge_attr is a pure function of j (xgnn.py:57-58). So the
+    conv is, per atom j, a dense (deg_in x deg_out) masked attention:
+
+      q/k/v:      (E, H, C) per-edge projections
+      e_atom:     (N, H, C) lin_edge(edgenn(atom_emb)) per atom
+      G:          (E, L, H, C) factored sbf: G[e,l] = sum_n W[l,n] rbf_env[e,l,n]
+      s_bias:     (H, C) lin_sbf bias
+      cbf:        (N, D, D, L) Y_l(theta) per (in-slot, out-slot) pair
+      in_edges/out_edges: (N, D) atom edge tables
+      pair_mask:  (N, D, D) valid & non-backtracking pairs
+      edge_inpos: (E,) flat position of each edge in the in-table
+
+    The per-triplet sbf modulation factorizes as
+      s[t] = sum_l cbf[j, i_slot, k_slot, l] * G[jk, l] + s_bias,
+    contracted inside the output reduction — no (T, ...) tensor is ever
+    materialized. Returns (E, H, C).
+    """
+    N, D = in_edges.shape
+    H, C = q.shape[1], q.shape[2]
+    L = cbf.shape[-1]
+    q_blk = q[in_edges]                                  # (N, D, H, C)
+    k_blk = k[out_edges] + e_atom[:, None]               # (N, D, H, C)
+    v_blk = v[out_edges] + e_atom[:, None]
+    scores = jnp.einsum("nihc,nkhc->nikh", q_blk, k_blk) / jnp.sqrt(float(C))
+    scores = jnp.where(pair_mask[..., None], scores, _NEG)
+    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
+    ex = jnp.exp(scores - smax)
+    ex = jnp.where(pair_mask[..., None], ex, 0.0)
+    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+    alpha = ex / denom                                   # (N, Di, Do, H)
+
+    G_blk = G[out_edges]                                 # (N, D, L, H, C)
+    out = jnp.einsum("nikh,nkhc->nihc", alpha, v_blk) * s_bias
+    for l in range(L):
+        wl = alpha * cbf[..., l][..., None]              # (N, Di, Do, H)
+        out = out + jnp.einsum("nikh,nkhc->nihc", wl,
+                               v_blk * G_blk[:, :, l])
+    return out.reshape(N * D, H, C)[edge_inpos]
+
+
 def padded_attention(q, k, v, e, s, nbr_trip, nbr_src, nbr_mask):
     """Dense neighbor-table attention.
 

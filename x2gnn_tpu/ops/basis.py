@@ -138,6 +138,35 @@ def legendre_cos_harmonics(theta, num_spherical: int):
 # 2D Fourier-Bessel basis over (edge length, triplet angle)
 # ---------------------------------------------------------------------------
 
+def sbf_radial_part(
+    distances,
+    num_spherical: int,
+    num_radial: int,
+    cutoff: float = 5.0,
+    envelope_exponent: int = 5,
+    edge_mask=None,
+):
+    """Envelope-damped radial factor of the 2D basis, per edge:
+    rbf_env[e, l, n] = env(d_e) * N_{l,n} * j_l(z_{l,n} d_e / cutoff).
+    The full 2D basis factorizes as sbf[t, l*K+n] = rbf_env[jk_t, l, n] *
+    Y_l(theta_t) — the blocked attention path contracts the two factors
+    inside the kernel instead of materializing (T, L*K)."""
+    zeros, norms = bessel_zeros_and_norms(num_spherical, num_radial)
+    zeros_j = jnp.asarray(zeros, dtype=distances.dtype)
+    norms_j = jnp.asarray(norms, dtype=distances.dtype)
+    d_scaled = distances * (1.0 / cutoff)
+    x = d_scaled[:, None, None] * zeros_j                   # (E, L, K)
+    jl = []
+    for l in range(num_spherical):
+        jl.append(spherical_bessel(x[:, l, :], l + 1)[..., l])
+    rbf = jnp.stack(jl, axis=1) * norms_j
+    env = poly_envelope(distances, cutoff, envelope_exponent)[:, None, None]
+    rbf_env = rbf * env
+    if edge_mask is not None:
+        rbf_env = jnp.where(edge_mask[:, None, None], rbf_env, 0.0)
+    return rbf_env
+
+
 def sbf_2d(
     distances,
     theta,
@@ -160,22 +189,8 @@ def sbf_2d(
     Returns (T, L*K). Padded edges should be pre-clamped to d ~ 1.0 and
     masked via `edge_mask` so the 1/x terms stay finite.
     """
-    zeros, norms = bessel_zeros_and_norms(num_spherical, num_radial)
-    zeros_j = jnp.asarray(zeros, dtype=distances.dtype)     # (L, K)
-    norms_j = jnp.asarray(norms, dtype=distances.dtype)     # (L, K)
-
-    d_scaled = distances * (1.0 / cutoff)                   # (E,)
-    x = d_scaled[:, None, None] * zeros_j                   # (E, L, K)
-    # j_l evaluated per l at its own arguments: loop over l (static, small)
-    jl = []
-    for l in range(num_spherical):
-        jl.append(spherical_bessel(x[:, l, :], l + 1)[..., l])
-    rbf = jnp.stack(jl, axis=1) * norms_j                   # (E, L, K)
-
-    env = poly_envelope(distances, cutoff, envelope_exponent)[:, None, None]
-    rbf_env = rbf * env
-    if edge_mask is not None:
-        rbf_env = jnp.where(edge_mask[:, None, None], rbf_env, 0.0)
+    rbf_env = sbf_radial_part(distances, num_spherical, num_radial, cutoff,
+                              envelope_exponent, edge_mask)
     rbf_env = rbf_env.reshape(rbf_env.shape[0], num_spherical * num_radial)
 
     cbf = legendre_cos_harmonics(theta, num_spherical)      # (T, L)
