@@ -115,6 +115,24 @@ def main():
                                   in_edges, out_edges, pair_mask,
                                   edge_inpos) ** 2).sum()
 
+    from x2gnn_tpu.ops.pallas import pallas_blocked_attention
+    in_src_j = jnp.asarray(
+        np.where(batch.in_mask, in_src, -1).astype(np.int32))
+    out_dst_j = jnp.asarray(
+        np.where(batch.out_mask, out_dst, -2).astype(np.int32))
+    z = jnp.asarray(rng.uniform(-1, 1, size=(N, D, D)), f32)
+
+    def pal_loss(q, k, v):
+        qf = q.reshape(E, H * C)
+        kf = k.reshape(E, H * C)
+        vf = v.reshape(E, H * C)
+        out = pallas_blocked_attention(
+            qf[in_edges], kf[out_edges], vf[out_edges],
+            e_atom.reshape(N, H * C),
+            G.reshape(E, L * H * C)[out_edges],
+            s_bias.reshape(1, H * C), z, in_src_j, out_dst_j, heads=H)
+        return (out.reshape(N * D, H * C)[edge_inpos] ** 2).sum()
+
     seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))
     pad_step = jax.jit(jax.grad(pad_loss, argnums=(0, 1, 2)))
     blk_step = jax.jit(jax.grad(blk_loss, argnums=(0, 1, 2)))
@@ -128,8 +146,12 @@ def main():
     t_blk = time_fn(blk_step, q, k, v)
     log(f"blocked (atom-dense) fwd+bwd: {t_blk * 1e3:.3f} ms "
         f"-> {real_T / t_blk / 1e6:.1f} M triplets/s")
+    pal_step = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2)))
+    t_pal = time_fn(pal_step, q, k, v)
+    log(f"blocked (pallas fused) fwd+bwd: {t_pal * 1e3:.3f} ms "
+        f"-> {real_T / t_pal / 1e6:.1f} M triplets/s")
 
-    best = min(t_seg, t_pad, t_blk)
+    best = min(t_seg, t_pad, t_blk, t_pal)
     result = {
         "metric": "edge_attention_throughput",
         "value": round(real_T / best / 1e6, 2),

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Evaluation / transfer CLI — the `load.ipynb` intent (README.md:21-22):
+restore a trained checkpoint and evaluate MAE on any dataset with
+identical featurization (e.g. QM9-trained -> OCELOT/AID transfer).
+
+Examples:
+  python evaluate.py --ckpt runs/u0/ckpt_best --data raw/AID_kcal.xyz \
+      --backend native --target 7
+  python evaluate.py --ckpt runs/smoke/ckpt_best --synthetic 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--data", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--target", type=int, default=7)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--layout", choices=["segment", "padded", "blocked"],
+                   default="blocked")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pyscf", "native", "zero"])
+    p.add_argument("--cache-dir", default="./processed")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--use-live-params", action="store_true",
+                   help="evaluate the live (non-EMA) weights; default is "
+                        "the EMA weights like the reference (trainer.py:57)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    from x2gnn_tpu.config import ModelConfig, TrainConfig, load_configs
+    from x2gnn_tpu.data.batching import batch_iterator, pad_budget_for
+    from x2gnn_tpu.data.molecule import (
+        EXTENSIVE_TARGETS, report_calibration)
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.loss import masked_mae
+    from x2gnn_tpu.train.trainer import Trainer
+
+    if args.config:
+        mcfg, tcfg = load_configs(args.config)
+    else:
+        mcfg, tcfg = ModelConfig(), TrainConfig()
+    tcfg = dataclasses.replace(tcfg, target=args.target,
+                               batch_size=args.batch_size)
+    readout = ("atomwise" if args.target in EXTENSIVE_TARGETS
+               else "molwise_mean")
+    mcfg = dataclasses.replace(mcfg, readout=readout,
+                               attention_layout=args.layout)
+
+    if args.synthetic:
+        from x2gnn_tpu.data.synthetic import synthetic_dataset
+        graphs = synthetic_dataset(args.synthetic)
+        targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
+        std = 1.0
+    else:
+        if not args.data:
+            print("need --data or --synthetic", file=sys.stderr)
+            return 2
+        from x2gnn_tpu.data.dataset import load_dataset, prepare_targets
+        graphs = load_dataset(args.data, cache_dir=args.cache_dir,
+                              cutoff=mcfg.cutoff, backend=args.backend,
+                              limit=args.limit)
+        targets = prepare_targets(graphs, args.target)
+        std = report_calibration(args.target)
+
+    model = X2GNN(mcfg)
+    trainer = Trainer(model, mcfg, tcfg, graphs, targets, std=std)
+    state = trainer.restore(args.ckpt)
+    params = state.params if args.use_live_params else state.ema.params
+
+    eval_step = jax.jit(lambda p, b: (
+        masked_mae(model.apply(p, b), b.y, mask=b.graph_mask, scale=std),
+        b.graph_mask.sum()))
+    total, count = 0.0, 0
+    budgets = pad_budget_for(graphs, args.batch_size)
+    for batch in batch_iterator(graphs, args.batch_size, budgets=budgets,
+                                targets=targets):
+        err, g = eval_step(params, batch)
+        total += float(err)
+        count += int(g)
+    mae = total / max(count, 1)
+    print(json.dumps({"mae": mae, "count": count,
+                      "unit": "kcal/mol" if std != 1.0 else "target units"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

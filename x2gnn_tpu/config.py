@@ -41,6 +41,15 @@ class ModelConfig:
     # 'padded' (dense per-dst-edge neighbor tables), or 'blocked'
     # (atom-blocked dense attention — fastest; see ops/attention.py)
     attention_layout: str = "segment"
+    # fused Pallas kernel for the blocked layout: True/False, or None =
+    # auto (on TPU backends only; interpret mode elsewhere is slow)
+    use_pallas: Optional[bool] = None
+    # 'v1' = SBFTransformer (model.py:11): static per-triplet edge_attr
+    # from the media-atom embedding. 'v2' = SBFTransformerV2
+    # (model.py:100-150, experimental in the reference): per-layer
+    # edge_attr recomputed from aggregated atom representations, final
+    # output divided by conv_layers.
+    variant: str = "v1"
 
     @property
     def head_dim(self) -> int:

@@ -76,14 +76,16 @@ class X2GNN(nn.Module):
                                     name="rbf_layer")(d_safe)
         node_rbf = node_rbf * env                            # (E, K)
 
-        def edgenn(h):
-            h = jax.nn.silu(Dense(cfg.embedding_size, name="edgenn_0")(h))
-            return Dense(cfg.embedding_size, name="edgenn_1")(h)
+        def edgenn(h, tag: str = "", width: Optional[int] = None):
+            width = width or cfg.embedding_size
+            h = jax.nn.silu(Dense(width, name=f"edgenn{tag}_0")(h))
+            return Dense(width, name=f"edgenn{tag}_1")(h)
 
+        v2 = cfg.variant == "v2"
         if blocked:
             # per-triplet edge_attr is a pure function of the media atom
             # (xgnn.py:57-58) -> run the edgenn MLP once per atom
-            edge_attr = edgenn(atom_emb)                     # (N, emb)
+            edge_attr = None if v2 else edgenn(atom_emb)     # (N, emb)
             rbf_env = sbf_radial_part(
                 d_safe, cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
                 cfg.envelope_exponent, edge_mask)            # (E, L, K)
@@ -93,14 +95,31 @@ class X2GNN(nn.Module):
             ji = pos[in_src] - pos[:, None, :]               # (N, D, 3)
             jk = pos[out_dst] - pos[:, None, :]
             cos_a = jnp.einsum("nid,nkd->nik", ji, jk)
-            cross = jnp.cross(ji[:, :, None, :], jk[:, None, :, :])
-            sin_a = jnp.sqrt(
-                jnp.maximum((cross ** 2).sum(-1), 1e-24))
-            theta = jnp.arctan2(sin_a, cos_a)                # (N, D, D)
-            cbf = legendre_cos_harmonics(theta, cfg.sbf_dim)  # (N, D, D, L)
+            use_pallas = cfg.use_pallas
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
             pair_mask = (batch.in_mask[:, :, None]
                          & batch.out_mask[:, None, :]
                          & (in_src[:, :, None] != out_dst[:, None, :]))
+            if use_pallas:
+                # fused kernel computes the Legendre harmonics in-register
+                # from cos(theta); only z + masked id tables are needed
+                norm = jnp.maximum(
+                    jnp.linalg.norm(ji, axis=-1)[:, :, None]
+                    * jnp.linalg.norm(jk, axis=-1)[:, None, :], 1e-12)
+                z_cos = jnp.clip(cos_a / norm, -1.0, 1.0)
+                a_ids = jnp.where(batch.in_mask, in_src, -1).astype(
+                    jnp.int32)
+                b_ids = jnp.where(batch.out_mask, out_dst, -2).astype(
+                    jnp.int32)
+                cbf = None
+            else:
+                cross = jnp.cross(ji[:, :, None, :], jk[:, None, :, :])
+                sin_a = jnp.sqrt(
+                    jnp.maximum((cross ** 2).sum(-1), 1e-24))
+                theta = jnp.arctan2(sin_a, cos_a)             # (N, D, D)
+                cbf = legendre_cos_harmonics(theta, cfg.sbf_dim)
+                z_cos = a_ids = b_ids = None
             sbf = None
         else:
             ji = pos[batch.trip_i] - pos[batch.trip_j]
@@ -114,8 +133,8 @@ class X2GNN(nn.Module):
                          cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
                          cfg.envelope_exponent,
                          edge_mask=edge_mask)                # (T, L*K)
-            trip_edge_attr = atom_emb[batch.trip_j]          # (T, emb)
-            edge_attr = edgenn(trip_edge_attr)
+            edge_attr = (None if v2
+                         else edgenn(atom_emb[batch.trip_j]))  # (T, emb)
 
         def readout(i: int):
             if cfg.readout == "atomwise":
@@ -138,14 +157,23 @@ class X2GNN(nn.Module):
         results = run_readout(0, out)
         for i in range(cfg.conv_layers):
             res0 = out
+            if v2:
+                # V2 (model.py:136-140): per-layer edge_attr from the
+                # aggregated atom representations of the media atom
+                atoms_rep = segment_sum(out, batch.edge_src, num_atoms,
+                                        mask=edge_mask)
+                h = edgenn(atoms_rep, tag=f"_{i}", width=cfg.in_channels)
+                edge_attr = h if blocked else h[batch.trip_j]
             if blocked:
                 out = BlockedEdgeAttentionConv(
                     cfg.in_channels, cfg.heads,
                     sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
+                    use_pallas=use_pallas,
                     name=f"conv_{i}")(
                         out, node_rbf, rbf_env, cbf, edge_attr,
                         batch.in_edges, batch.out_edges, pair_mask,
-                        batch.edge_inpos)
+                        batch.edge_inpos,
+                        z=z_cos, a_ids=a_ids, b_ids=b_ids)
             else:
                 out = EdgeAttentionConv(
                     cfg.in_channels, cfg.heads, cfg.dropout,
@@ -171,6 +199,8 @@ class X2GNN(nn.Module):
             # per-atom scalars -> molecule sums (model.py:53)
             results = segment_sum(results, batch.atom_gid, num_graphs,
                                   mask=batch.node_mask)
+        if v2:
+            results = results / cfg.conv_layers              # model.py:150
         return results.reshape(-1)                           # (G,)
 
 

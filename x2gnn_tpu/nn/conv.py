@@ -128,18 +128,24 @@ class EdgeAttentionConv(nn.Module):
 class BlockedEdgeAttentionConv(nn.Module):
     """Atom-blocked layout of EdgeAttentionConv (see
     ops.attention.blocked_attention). Identical math and an identical
-    parameter tree (init with one layout, apply with any other)."""
+    parameter tree (init with one layout, apply with any other).
+
+    use_pallas: None = auto (fused Pallas kernel on TPU, XLA elsewhere)."""
 
     channels: int
     heads: int = 16
     sbf_l: int = 7     # num_spherical
     sbf_k: int = 6     # num_radial
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, rbf, rbf_env, cbf, atom_edge_attr,
-                 in_edges, out_edges, pair_mask, edge_inpos):
+                 in_edges, out_edges, pair_mask, edge_inpos,
+                 z=None, a_ids=None, b_ids=None):
         """x: (E, C); rbf: (E, K); rbf_env: (E, L, K) radial sbf factor;
-        cbf: (N, D, D, L) angular factor; atom_edge_attr: (N, emb)."""
+        cbf: (N, D, D, L) angular factor; atom_edge_attr: (N, emb);
+        z/a_ids/b_ids: cos(angle) + masked atom-id tables for the Pallas
+        kernel (only needed when it is enabled)."""
         num_edges = x.shape[0]
         H = self.heads
         C = self.channels // H
@@ -161,14 +167,28 @@ class BlockedEdgeAttentionConv(nn.Module):
         # factored sbf projection: G[e, l, h, c] = sum_n W[l, n] rbf_env
         G = jnp.einsum("elk,lkf->elf", rbf_env,
                        w_sbf.reshape(L, K, self.channels))
-        out = blocked_attention(
-            q.reshape(num_edges, H, C),
-            k.reshape(num_edges, H, C),
-            v.reshape(num_edges, H, C),
-            e_atom.reshape(-1, H, C),
-            G.reshape(num_edges, L, H, C),
-            b_sbf.reshape(H, C),
-            cbf, in_edges, out_edges, pair_mask, edge_inpos)
-        out = out.reshape(num_edges, H * C)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            assert z is not None and a_ids is not None
+            from x2gnn_tpu.ops.pallas import pallas_blocked_attention
+            N, D = in_edges.shape
+            out_blk = pallas_blocked_attention(
+                q[in_edges], k[out_edges], v[out_edges], e_atom,
+                G.reshape(num_edges, L * self.channels)[out_edges],
+                b_sbf.reshape(1, self.channels),
+                z, a_ids, b_ids, heads=H)
+            out = out_blk.reshape(N * D, self.channels)[edge_inpos]
+        else:
+            out = blocked_attention(
+                q.reshape(num_edges, H, C),
+                k.reshape(num_edges, H, C),
+                v.reshape(num_edges, H, C),
+                e_atom.reshape(-1, H, C),
+                G.reshape(num_edges, L, H, C),
+                b_sbf.reshape(H, C),
+                cbf, in_edges, out_edges, pair_mask, edge_inpos)
+            out = out.reshape(num_edges, H * C)
         out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
         return out

@@ -1,3 +1,5 @@
 from x2gnn_tpu.parallel.mesh import make_mesh, device_count  # noqa: F401
 from x2gnn_tpu.parallel.data_parallel import (  # noqa: F401
     stack_batches, shard_batches, make_dp_train_step, make_dp_eval_step)
+from x2gnn_tpu.parallel.edge_partition import (  # noqa: F401
+    make_ep_blocked_attention)
