@@ -93,6 +93,31 @@ def test_dp_grads_match_mean_of_per_device_grads(make_molecule, rng):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_trainer_with_mesh(make_molecule, rng, tmp_path):
+    """Trainer in DP mode: runs epochs over a CPU mesh, loss finite, and
+    the final partial device-group is padded with masked batches."""
+    from x2gnn_tpu.train.trainer import Trainer
+    import numpy as np
+    graphs = []
+    for i in range(10):   # 10 graphs, batch 2, 4 devices -> partial group
+        numbers, pos = make_molecule(n_atoms=int(rng.integers(4, 7)))
+        from x2gnn_tpu.data.graphs import build_mol_graph
+        g = build_mol_graph(numbers, pos, y=np.array([0.0]),
+                            edge_feat_dim=12)
+        g.edge_feat[:] = rng.normal(size=g.edge_feat.shape).astype(
+            np.float32)
+        graphs.append(g)
+    targets = np.array([g.num_atoms for g in graphs], dtype=np.float32)
+    mesh = make_mesh(4)
+    trainer = Trainer(X2GNN(CFG), CFG, TCFG, graphs, targets,
+                      workdir=str(tmp_path / "dp"), mesh=mesh)
+    state = trainer.init_state()
+    state, loss = trainer.run_epoch(state)
+    assert np.isfinite(loss)
+    val = trainer.evaluate(state, trainer.val_idx)
+    assert np.isfinite(val)
+
+
 def test_dp_eval_psum(make_molecule, rng):
     n_dev = 8
     _, batches = _device_batches(make_molecule, rng, n_dev, 2)

@@ -117,6 +117,27 @@ def test_trainer_fit_logs_and_checkpoints(make_molecule, rng, tmp_path):
         assert np.asarray(a).shape == np.asarray(b).shape
 
 
+def test_nonfinite_loss_skips_update(make_molecule, rng, tmp_path):
+    """Failure detection: a NaN batch must not corrupt params (update
+    skipped, bad_steps incremented)."""
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    model = X2GNN(TINY_MODEL)
+    trainer = Trainer(model, TINY_MODEL, TINY_TRAIN, graphs, targets,
+                      workdir=str(tmp_path / "nan"))
+    state = trainer.init_state()
+    batch = next(trainer._batches(trainer.train_idx))
+    bad_batch = batch.replace(y=jnp.full_like(jnp.asarray(batch.y),
+                                              jnp.nan))
+    before = jax.device_get(state.params)
+    state2, loss = trainer._train_step(state, bad_batch)
+    assert not np.isfinite(float(loss))
+    assert int(state2.bad_steps) == 1
+    after = jax.device_get(state2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_eval_uses_ema(make_molecule, rng, tmp_path):
     graphs, targets = _tiny_dataset(make_molecule, rng)
     model = X2GNN(TINY_MODEL)

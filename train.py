@@ -22,6 +22,8 @@ def parse_args(argv=None):
     p.add_argument("--config", default=None,
                    help="reference-style config.json (schema-compatible)")
     p.add_argument("--data", default=None, help="concatenated xyz file")
+    p.add_argument("--data-npz", default=None,
+                   help="prebuilt graph cache (save_graph_cache npz)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic molecules instead of --data")
     p.add_argument("--target", type=int, default=None,
@@ -43,6 +45,10 @@ def parse_args(argv=None):
                         "(reference gates at 100, trainer.py:95)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard molecules over all local devices")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--standardize", action="store_true",
+                   help="z-score targets over the train split; reported "
+                        "MAE is rescaled back to physical units")
     return p.parse_args(argv)
 
 
@@ -66,6 +72,8 @@ def main(argv=None):
     if args.ckpt_after_epoch is not None:
         tcfg = dataclasses.replace(tcfg,
                                    ckpt_after_epoch=args.ckpt_after_epoch)
+    if args.batch_size is not None:
+        tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
 
     # model dispatch by target family (train_ema.py:41-44)
     readout = ("atomwise" if tcfg.target in EXTENSIVE_TARGETS
@@ -79,6 +87,15 @@ def main(argv=None):
         graphs = synthetic_dataset(args.synthetic)
         targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
         std = 1.0
+    elif args.data_npz:
+        from x2gnn_tpu.data.dataset import load_graph_cache, prepare_targets
+        graphs = load_graph_cache(args.data_npz)
+        if args.limit:
+            graphs = graphs[:args.limit]
+        targets = prepare_targets(graphs, tcfg.target)
+        # unit calibration only applies to 12-property QM9 labels
+        multi = graphs and graphs[0].y.shape[0] == 12
+        std = report_calibration(tcfg.target) if multi else 1.0
     else:
         if not args.data:
             print("need --data or --synthetic", file=sys.stderr)
@@ -88,11 +105,28 @@ def main(argv=None):
                               cutoff=mcfg.cutoff, backend=args.backend,
                               limit=args.limit)
         targets = prepare_targets(graphs, tcfg.target)
-        std = report_calibration(tcfg.target)
+        multi = graphs and graphs[0].y.shape[0] == 12
+        std = report_calibration(tcfg.target) if multi else 1.0
+
+    if args.standardize:
+        import numpy as np
+        mu, sigma = float(np.mean(targets)), float(np.std(targets) + 1e-12)
+        targets = ((targets - mu) / sigma).astype(np.float32)
+        std *= sigma   # report MAE in physical units
+        print(f"standardized targets: mu={mu:.4f} sigma={sigma:.4f}",
+              file=sys.stderr)
+
+    mesh = None
+    if args.data_parallel:
+        import jax
+        from x2gnn_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        print(f"data parallel over {jax.device_count()} devices",
+              file=sys.stderr)
 
     model = X2GNN(mcfg)
     trainer = Trainer(model, mcfg, tcfg, graphs, targets,
-                      workdir=args.workdir, std=std)
+                      workdir=args.workdir, std=std, mesh=mesh)
     os.makedirs(args.workdir, exist_ok=True)
     dump_configs(mcfg, tcfg, os.path.join(args.workdir, "args.json"))
 

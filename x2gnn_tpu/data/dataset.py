@@ -72,16 +72,21 @@ def save_graph_cache(path: str, graphs: Sequence[MolGraph]) -> None:
         "index": np.array([g.index for g in graphs]),
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **payload)
+    # uncompressed: compression made per-array reads decompress the whole
+    # file and cost minutes on large caches
+    np.savez(path, **payload)
 
 
 def load_graph_cache(path: str) -> List[MolGraph]:
-    z = np.load(path)
+    with np.load(path) as zf:
+        # materialize every array ONCE — indexing a lazy NpzFile member
+        # re-decompresses the full array per access
+        z = {k: np.asarray(zf[k]) for k in zf.files}
     n_off = np.concatenate([[0], np.cumsum(z["n_atoms"])])
     e_off = np.concatenate([[0], np.cumsum(z["n_edges"])])
     t_off = np.concatenate([[0], np.cumsum(z["n_trips"])])
     graphs = []
-    for m in range(len(z["n_atoms"])):
+    for m in range(len(z["n_atoms"])):  # noqa: E501 — z is a plain dict now
         a0, a1 = n_off[m], n_off[m + 1]
         e0, e1 = e_off[m], e_off[m + 1]
         t0, t1 = t_off[m], t_off[m + 1]

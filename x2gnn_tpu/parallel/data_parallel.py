@@ -42,6 +42,37 @@ def shard_batches(batches: Sequence[GraphBatch], mesh: Mesh) -> GraphBatch:
         lambda x: jax.device_put(x, sharding), stacked)
 
 
+def empty_like_batch(batch: GraphBatch) -> GraphBatch:
+    """A fully-masked copy of `batch` (same static shapes, no real
+    graphs) — used to pad the final device group of an epoch."""
+    return batch.replace(
+        node_mask=jnp.zeros_like(jnp.asarray(batch.node_mask)),
+        edge_mask=jnp.zeros_like(jnp.asarray(batch.edge_mask)),
+        trip_mask=jnp.zeros_like(jnp.asarray(batch.trip_mask)),
+        graph_mask=jnp.zeros_like(jnp.asarray(batch.graph_mask)),
+        in_mask=jnp.zeros_like(jnp.asarray(batch.in_mask)),
+        out_mask=jnp.zeros_like(jnp.asarray(batch.out_mask)),
+        y=jnp.zeros_like(jnp.asarray(batch.y)),
+    )
+
+
+def dp_batch_iterator(batches, n_dev: int, mesh: Mesh):
+    """Group a stream of same-shape GraphBatches into device groups of
+    n_dev, padding the final group with fully-masked batches, and yield
+    stacked + sharded (D, ...) batches."""
+    group = []
+    for b in batches:
+        group.append(b)
+        if len(group) == n_dev:
+            yield shard_batches(group, mesh)
+            group = []
+    if group:
+        filler = empty_like_batch(group[-1])
+        while len(group) < n_dev:
+            group.append(filler)
+        yield shard_batches(group, mesh)
+
+
 def make_dp_train_step(model, optimizer, ema_decay: float,
                        mesh: Mesh) -> Callable:
     """Jitted data-parallel train step.
@@ -60,10 +91,15 @@ def make_dp_train_step(model, optimizer, ema_decay: float,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         grads = jax.lax.pmean(grads, "data")
         loss = jax.lax.pmean(loss, "data")
+        # failure detection: skip the update on non-finite global loss
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
+            lambda p, u: p + jnp.where(finite, u, jnp.zeros_like(u)),
+            state.params, updates)
         ema = ema_update(state.ema, params, ema_decay)
         new_state = state._replace(params=params, opt_state=opt_state,
                                    ema=ema, step=state.step + 1)

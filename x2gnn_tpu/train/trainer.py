@@ -32,6 +32,7 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema: EmaState
     step: jnp.ndarray
+    bad_steps: jnp.ndarray = None  # count of skipped non-finite updates
 
 
 def make_split(n: int, seed: int, division) -> tuple:
@@ -56,7 +57,11 @@ class Trainer:
         std: float = 1.0,
         budgets: Optional[tuple] = None,
         train_step_fn: Optional[Callable] = None,
+        mesh=None,
     ):
+        """`mesh`: a jax.sharding.Mesh with a 'data' axis enables
+        molecule-sharded data parallelism (per-device batch groups,
+        pmean'd gradients over ICI)."""
         self.model = model
         self.mcfg = model_cfg
         self.tcfg = train_cfg
@@ -76,23 +81,51 @@ class Trainer:
         self.budgets = budgets or pad_budget_for(
             self.graphs, train_cfg.batch_size)
 
-        self._train_step = jax.jit(
-            train_step_fn or self._default_train_step, donate_argnums=0)
-        self._eval_step = jax.jit(self._default_eval_step)
+        self.mesh = mesh
+        if mesh is not None:
+            from x2gnn_tpu.parallel.data_parallel import (
+                make_dp_train_step, make_dp_eval_step)
+            self._train_step = make_dp_train_step(
+                model, self.optimizer, train_cfg.ema_decay, mesh)
+            self._eval_step = make_dp_eval_step(model, mesh, std=std)
+            self.n_dev = int(mesh.devices.size)
+        else:
+            self._train_step = jax.jit(
+                train_step_fn or self._default_train_step, donate_argnums=0)
+            self._eval_step = jax.jit(self._default_eval_step)
+            self.n_dev = 1
 
     # ---- steps -----------------------------------------------------------
     def _default_train_step(self, state: TrainState, batch: GraphBatch):
+        """One optimization step with non-finite-loss failure detection:
+        a NaN/inf loss skips the whole update (params/opt/EMA unchanged)
+        and increments `bad_steps` — the elastic-recovery piece the
+        reference lacks entirely (SURVEY §5)."""
+
         def loss_fn(params):
             pred = self.model.apply(params, batch)
             return smooth_l1_loss(pred, batch.y, mask=batch.graph_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        finite = jnp.isfinite(loss)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, opt_state = self.optimizer.update(
-            grads, state.opt_state, state.params)
+            safe_grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
+            lambda p, u: p + jnp.where(finite, u, jnp.zeros_like(u)),
+            state.params, updates)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old)
+            if isinstance(new, jnp.ndarray) and new.shape == getattr(
+                old, "shape", None) else new,
+            opt_state, state.opt_state)
         ema = ema_update(state.ema, params, self.tcfg.ema_decay)
-        return TrainState(params, opt_state, ema, state.step + 1), loss
+        bad = state.bad_steps
+        if bad is None:
+            bad = jnp.zeros((), jnp.int32)
+        return TrainState(params, opt_state, ema, state.step + 1,
+                          bad + (1 - finite.astype(jnp.int32))), loss
 
     def _default_eval_step(self, ema_params, batch: GraphBatch):
         pred = self.model.apply(ema_params, batch)
@@ -106,6 +139,7 @@ class Trainer:
         params = self.model.init(jax.random.PRNGKey(rng_seed), probe)
         opt_state = self.optimizer.init(params)
         return TrainState(params, opt_state, ema_init(params),
+                          jnp.zeros((), jnp.int32),
                           jnp.zeros((), jnp.int32))
 
     def _batches(self, idx):
@@ -114,10 +148,18 @@ class Trainer:
         return batch_iterator(graphs, self.tcfg.batch_size,
                               budgets=self.budgets, targets=targets)
 
+    def _device_batches(self, idx):
+        """Batches grouped/stacked per device when a mesh is active."""
+        batches = self._batches(idx)
+        if self.mesh is None:
+            return batches
+        from x2gnn_tpu.parallel.data_parallel import dp_batch_iterator
+        return dp_batch_iterator(batches, self.n_dev, self.mesh)
+
     # ---- loops -----------------------------------------------------------
     def run_epoch(self, state: TrainState):
         total, count = 0.0, 0
-        for batch in self._batches(self.train_idx):
+        for batch in self._device_batches(self.train_idx):
             state, loss = self._train_step(state, batch)
             g = int(np.asarray(batch.graph_mask.sum()))
             total += float(loss) * g
@@ -126,7 +168,7 @@ class Trainer:
 
     def evaluate(self, state: TrainState, idx) -> float:
         total, count = 0.0, 0
-        for batch in self._batches(idx):
+        for batch in self._device_batches(idx):
             err, g = self._eval_step(state.ema.params, batch)
             total += float(err)
             count += int(g)
