@@ -24,6 +24,12 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--config", default=None)
     p.add_argument("--data", default=None)
+    p.add_argument("--data-npz", default=None,
+                   help="prebuilt graph cache (save_graph_cache npz)")
+    p.add_argument("--stats", default=None,
+                   help="standardization.json from the training run "
+                        "(mu/sigma applied to targets; MAE reported in "
+                        "physical units)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--target", type=int, default=7)
     p.add_argument("--batch-size", type=int, default=32)
@@ -66,6 +72,14 @@ def main(argv=None):
         graphs = synthetic_dataset(args.synthetic)
         targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
         std = 1.0
+    elif args.data_npz:
+        from x2gnn_tpu.data.dataset import load_graph_cache, prepare_targets
+        graphs = load_graph_cache(args.data_npz)
+        if args.limit:
+            graphs = graphs[:args.limit]
+        targets = prepare_targets(graphs, args.target)
+        multi = graphs and graphs[0].y.shape[0] == 12
+        std = report_calibration(args.target) if multi else 1.0
     else:
         if not args.data:
             print("need --data or --synthetic", file=sys.stderr)
@@ -75,7 +89,14 @@ def main(argv=None):
                               cutoff=mcfg.cutoff, backend=args.backend,
                               limit=args.limit)
         targets = prepare_targets(graphs, args.target)
-        std = report_calibration(args.target)
+        multi = graphs and graphs[0].y.shape[0] == 12
+        std = report_calibration(args.target) if multi else 1.0
+
+    if args.stats:
+        stats = json.load(open(args.stats))
+        targets = ((targets - stats["mu"]) / stats["sigma"]).astype(
+            np.float32)
+        std *= stats["sigma"]
 
     model = X2GNN(mcfg)
     trainer = Trainer(model, mcfg, tcfg, graphs, targets, std=std)

@@ -115,6 +115,10 @@ def main(argv=None):
         std *= sigma   # report MAE in physical units
         print(f"standardized targets: mu={mu:.4f} sigma={sigma:.4f}",
               file=sys.stderr)
+        os.makedirs(args.workdir, exist_ok=True)
+        with open(os.path.join(args.workdir, "standardization.json"),
+                  "w") as f:
+            json.dump({"mu": mu, "sigma": sigma}, f)
 
     mesh = None
     if args.data_parallel:

@@ -106,19 +106,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, G_ref, b_ref, z_ref,
                 a_ref, b_ids_ref, out_ref, *, BA, D, H, C, L):
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
-    for a in range(BA):
+
+    # fori_loop (not a python unroll) so each atom's (D, D, HC)
+    # temporaries are reused instead of all BA copies being live at once
+    def body(a, _):
         q = q_ref[a]
-        k = k_ref[a] + e_ref[a][None, :]
-        v = v_ref[a] + e_ref[a][None, :]
+        k = k_ref[a] + e_ref[a, 0][None, :]
+        v = v_ref[a] + e_ref[a, 0][None, :]
         z = z_ref[a]
-        aid = a_ref[a]
-        bid = b_ids_ref[a]
+        aid = a_ref[a, 0]
+        bid = b_ids_ref[a, 0]
         valid = ((aid[:, None] != bid[None, :])
                  & (aid[:, None] >= 0)
                  & (bid[None, :] >= 0)).astype(jnp.float32)
         _, _, _, out = _attention_core(
             q, k, v, z, valid, G_ref[a], bias, Mind, D, H, C, L)
         out_ref[a] = out
+        return 0
+
+    jax.lax.fori_loop(0, BA, body, 0)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, G_ref, b_ref, z_ref,
@@ -134,14 +140,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, G_ref, b_ref, z_ref,
     def _():
         db_ref[:] = jnp.zeros((1, HC), jnp.float32)
 
-    db_acc = jnp.zeros((1, HC), jnp.float32)
-    for a in range(BA):
+    def body(a, db_acc):
         q = q_ref[a]
-        k = k_ref[a] + e_ref[a][None, :]
-        v = v_ref[a] + e_ref[a][None, :]
+        k = k_ref[a] + e_ref[a, 0][None, :]
+        v = v_ref[a] + e_ref[a, 0][None, :]
         z = z_ref[a]
-        aid = a_ref[a]
-        bid = b_ids_ref[a]
+        aid = a_ref[a, 0]
+        bid = b_ids_ref[a, 0]
         valid = ((aid[:, None] != bid[None, :])
                  & (aid[:, None] >= 0)
                  & (bid[None, :] >= 0)).astype(jnp.float32)
@@ -175,29 +180,46 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, G_ref, b_ref, z_ref,
         dq_ref[a] = dq
         dk_ref[a] = dk
         dv_ref[a] = dv_from_msg
-        de_ref[a] = (dk + dv_from_msg).sum(axis=0)
+        de_ref[a, 0] = (dk + dv_from_msg).sum(axis=0)
+        return db_acc
+
+    db_acc = jax.lax.fori_loop(0, BA, body,
+                               jnp.zeros((1, HC), jnp.float32))
     db_ref[:] = db_ref[:] + db_acc
 
 
 def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias,
                              z, a_ids, b_ids, heads: int,
-                             block_atoms: int = 8,
+                             block_atoms: int | None = None,
                              interpret: bool | None = None):
-    """Fused blocked attention; differentiable in q/k/v/e/G/bias."""
+    """Fused blocked attention; differentiable in q/k/v/e/G/bias.
+
+    block_atoms: atoms per grid program (the in-kernel fori_loop reuses
+    one atom's (D, D, HC) temporaries across iterations, so VMEM usage is
+    ~inputs + one atom's scratch regardless of BA)."""
     N, D, HC = q_blk.shape
     L = G_blk.shape[-1] // HC
     H = heads
     C = HC // H
+    if block_atoms is None:
+        # large-degree batches: smaller input blocks keep the program under
+        # the 16MB VMEM scoped budget (temps are one atom's regardless)
+        block_atoms = 8 if D <= 40 else 2
     BA = block_atoms
     assert N % BA == 0, f"N={N} must be a multiple of block_atoms={BA}"
     n_blocks = N // BA
     interp = (jax.default_backend() != "tpu"
               if interpret is None else interpret)
 
+    # 2D per-atom arrays are lifted to (N, 1, X) so the block's last two
+    # dims satisfy TPU tiling for any BA (unit dim == array dim)
+    e_atom = e_atom.reshape(N, 1, HC)
+    a_ids = a_ids.reshape(N, 1, D)
+    b_ids = b_ids.reshape(N, 1, D)
     specs = dict(
         q=pl.BlockSpec((BA, D, HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-        e=pl.BlockSpec((BA, HC), lambda i: (i, 0),
+        e=pl.BlockSpec((BA, 1, HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
         G=pl.BlockSpec((BA, D, L * HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
@@ -205,7 +227,7 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias,
                        memory_space=pltpu.VMEM),
         z=pl.BlockSpec((BA, D, D), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-        ids=pl.BlockSpec((BA, D), lambda i: (i, 0),
+        ids=pl.BlockSpec((BA, 1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
     )
 
@@ -245,13 +267,13 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias,
                 jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
                 jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
                 jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
-                jax.ShapeDtypeStruct((N, HC), jnp.float32),
+                jax.ShapeDtypeStruct((N, 1, HC), jnp.float32),
                 jax.ShapeDtypeStruct((N, D, L * HC), jnp.float32),
                 jax.ShapeDtypeStruct((1, HC), jnp.float32),
             ),
             interpret=interp,
         )(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias, z, a_ids, b_ids, g)
-        return dq, dk, dv, de, dG, db
+        return dq, dk, dv, de.reshape(N, HC), dG, db
 
     run.defvjp(fwd, bwd)
     return run(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias)

@@ -58,10 +58,15 @@ class Trainer:
         budgets: Optional[tuple] = None,
         train_step_fn: Optional[Callable] = None,
         mesh=None,
+        cache_batches: Optional[bool] = None,
     ):
         """`mesh`: a jax.sharding.Mesh with a 'data' axis enables
         molecule-sharded data parallelism (per-device batch groups,
-        pmean'd gradients over ICI)."""
+        pmean'd gradients over ICI).
+
+        `cache_batches`: keep padded batches across epochs (the split
+        order is fixed, trainer.py:22-27, so batches are identical every
+        epoch). None = auto (on for datasets under ~20k molecules)."""
         self.model = model
         self.mcfg = model_cfg
         self.tcfg = train_cfg
@@ -80,6 +85,9 @@ class Trainer:
             n, train_cfg.random_seed, (d0, d1))
         self.budgets = budgets or pad_budget_for(
             self.graphs, train_cfg.batch_size)
+        if cache_batches is None:
+            cache_batches = n <= 20000
+        self._batch_cache = {} if cache_batches else None
 
         self.mesh = mesh
         if mesh is not None:
@@ -143,10 +151,18 @@ class Trainer:
                           jnp.zeros((), jnp.int32))
 
     def _batches(self, idx):
+        key = (int(idx[0]) if len(idx) else -1, len(idx))
+        if self._batch_cache is not None and key in self._batch_cache:
+            return iter(self._batch_cache[key])
         graphs = [self.graphs[i] for i in idx]
         targets = self.targets[np.asarray(idx)]
-        return batch_iterator(graphs, self.tcfg.batch_size,
-                              budgets=self.budgets, targets=targets)
+        it = batch_iterator(graphs, self.tcfg.batch_size,
+                            budgets=self.budgets, targets=targets)
+        if self._batch_cache is None:
+            return it
+        batches = list(it)
+        self._batch_cache[key] = batches
+        return iter(batches)
 
     def _device_batches(self, idx):
         """Batches grouped/stacked per device when a mesh is active."""
