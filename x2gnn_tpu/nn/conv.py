@@ -67,7 +67,8 @@ class EdgeAttentionConv(nn.Module):
     @nn.compact
     def __call__(self, x, rbf, sbf, edge_attr, trip_src, trip_dst,
                  trip_mask=None, nbr_trip=None, nbr_src=None, nbr_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 return_attention_weights: bool = False):
         """x: (E, C) line-graph node (= atom-graph edge) features;
         rbf: (E, K) radial basis per edge; sbf: (T, L*K) per-triplet 2D
         basis; edge_attr: (T, emb) media-atom embedding per triplet;
@@ -100,6 +101,7 @@ class EdgeAttentionConv(nn.Module):
         e = eattr.reshape(-1, H, C)
         s = sbf_proj.reshape(-1, H, C)
 
+        weights = None
         if self.attention_fn is not None:
             out = self.attention_fn(q, k, v, e, s, trip_src, trip_dst,
                                     trip_mask, num_edges)
@@ -113,6 +115,7 @@ class EdgeAttentionConv(nn.Module):
             alpha = (q_i * k_j).sum(-1) / jnp.sqrt(float(C))   # (T, H) SDDMM
             alpha = segment_softmax(alpha, trip_dst, num_edges,
                                     mask=trip_mask)
+            weights = alpha                         # (T, H) per-triplet
             if self.dropout > 0.0 and not deterministic:
                 alpha = nn.Dropout(rate=self.dropout)(
                     alpha, deterministic=False)
@@ -122,6 +125,11 @@ class EdgeAttentionConv(nn.Module):
                               mask=trip_mask)       # SpMM scatter
         out = out.reshape(num_edges, H * C)
         out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
+        if return_attention_weights:
+            # sbftransformer_conv.py:129-134 equivalent (segment layout)
+            assert weights is not None, (
+                "attention weights only available in the segment layout")
+            return out, weights
         return out
 
 

@@ -34,6 +34,22 @@ def glorot_orthogonal(scale: float = 2.0):
     return init
 
 
+def he_orthogonal(scale: float = 1.0):
+    """Orthogonal init standardized then scaled by 1/sqrt(fan_in)
+    (initializer.py:15-27 — present in the reference but unused by its
+    model path; provided for completeness/experimentation)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        w = jax.nn.initializers.orthogonal()(key, shape, jnp.float32)
+        mean = jnp.mean(w, axis=0, keepdims=True)
+        var = jnp.var(w, axis=0, ddof=1, keepdims=True)
+        w = (w - mean) / jnp.sqrt(var + 1e-6)
+        fan_in = shape[0]
+        return (w * jnp.sqrt(scale / fan_in)).astype(dtype)
+
+    return init
+
+
 def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) ==
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)). shape is flax (in, out)."""

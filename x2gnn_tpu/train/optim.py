@@ -37,6 +37,24 @@ def warmup_exponential_decay(
     return schedule
 
 
+def reduce_on_plateau(
+    max_lr: float,
+    factor: float = 0.7,
+    patience: int = 3,
+    min_lr_ratio: float = 0.01,
+):
+    """Epoch-level plateau LR reduction (optax.contrib.reduce_on_plateau).
+
+    The reference HAS a ReduceLROnPlateau branch (train_ema.py:49-53) but
+    steps the scheduler per batch (trainer.py:47), which torch's plateau
+    scheduler cannot consume — this is the working equivalent, driven by
+    the validation metric once per epoch.
+    """
+    return optax.contrib.reduce_on_plateau(
+        factor=factor, patience=patience,
+        min_scale=min_lr_ratio)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """clip-by-global-norm -> Adam(schedule), mirroring the reference's
     clip_grad_norm_ + Adam + per-batch scheduler composition."""

@@ -207,10 +207,16 @@ class Trainer:
             improved = best_val is None or val_err <= best_val
             if improved:
                 best_val = val_err
-                if epoch > self.tcfg.ckpt_after_epoch:
+                # >= so ckpt_after_epoch=0 checkpoints from the first
+                # epoch (reference gates with `epoch > 100`, trainer.py:95
+                # — the default of 100 keeps that behavior ±1 epoch)
+                if epoch >= self.tcfg.ckpt_after_epoch:
                     test_err = self.evaluate(state, self.test_idx)
                     save_checkpoint(
                         os.path.join(self.workdir, "ckpt_best"), state)
+            seconds = time.time() - t0
+            n_train = len(self.train_idx)
+            steps = -(-n_train // self.tcfg.batch_size)
             record = {
                 "epoch": epoch + 1,
                 "loss": float(loss),
@@ -218,7 +224,16 @@ class Trainer:
                 "best_val_mae": float(best_val),
                 "test_mae": None if test_err is None else float(test_err),
                 "step": int(np.asarray(state.step)),
-                "seconds": time.time() - t0,
+                "bad_steps": (int(np.asarray(state.bad_steps))
+                              if state.bad_steps is not None else 0),
+                "seconds": seconds,
+                # north-star counters (BASELINE.md): per-chip rates from
+                # the static budgets
+                "edges_per_sec": self.budgets[1] * steps / max(seconds,
+                                                               1e-9),
+                "triplets_per_sec": self.budgets[2] * steps / max(
+                    seconds, 1e-9),
+                "molecules_per_sec": n_train / max(seconds, 1e-9),
             }
             if log_every_epoch:
                 with open(jsonl_path, "a") as f:
