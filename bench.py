@@ -115,22 +115,28 @@ def main():
                                   in_edges, out_edges, pair_mask,
                                   edge_inpos) ** 2).sum()
 
-    from x2gnn_tpu.ops.pallas import pallas_blocked_attention
+    from x2gnn_tpu.ops.pallas import (
+        expand_block_diagonal, pallas_blocked_attention)
     in_src_j = jnp.asarray(
         np.where(batch.in_mask, in_src, -1).astype(np.int32))
     out_dst_j = jnp.asarray(
         np.where(batch.out_mask, out_dst, -2).astype(np.int32))
     z = jnp.asarray(rng.uniform(-1, 1, size=(N, D, D)), f32)
+    K_rad = 6
+    rbf = jnp.asarray(rng.normal(size=(E, L * K_rad)), f32)
+    W_sbf = jnp.asarray(rng.normal(size=(L * K_rad, H * C)), f32) * 0.3
 
     def pal_loss(q, k, v):
         qf = q.reshape(E, H * C)
         kf = k.reshape(E, H * C)
         vf = v.reshape(E, H * C)
+        w_bd = expand_block_diagonal(W_sbf, L, K_rad, H * C)
         out = pallas_blocked_attention(
             qf[in_edges], kf[out_edges], vf[out_edges],
             e_atom.reshape(N, H * C),
-            G.reshape(E, L * H * C)[out_edges],
-            s_bias.reshape(1, H * C), z, in_src_j, out_dst_j, heads=H)
+            rbf[out_edges], w_bd,
+            s_bias.reshape(1, H * C), z, in_src_j, out_dst_j,
+            heads=H, num_radial=K_rad)
         return (out.reshape(N * D, H * C)[edge_inpos] ** 2).sum()
 
     seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))

@@ -10,11 +10,12 @@ from x2gnn_tpu.data.graphs import build_mol_graph
 from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
 from x2gnn_tpu.ops.attention import blocked_attention
 from x2gnn_tpu.ops.basis import legendre_cos_harmonics
-from x2gnn_tpu.ops.pallas.blocked_attn import pallas_blocked_attention
+from x2gnn_tpu.ops.pallas.blocked_attn import (
+    expand_block_diagonal, pallas_blocked_attention)
 
 H, C = 4, 8
 HC = H * C
-L = 7
+L, K = 7, 6
 
 
 def _problem(make_molecule, rng, k=4):
@@ -26,12 +27,13 @@ def _problem(make_molecule, rng, k=4):
         gs.append(g)
     b = pad_graphs(gs, pad_budget_for(gs, k))
     E = b.edge_src.shape[0]
-    N, D = b.in_edges.shape
     q = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
     k_ = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
-    e_atom = jnp.asarray(rng.normal(size=(N, H, C)), jnp.float32)
-    G = jnp.asarray(rng.normal(size=(E, L, H, C)), jnp.float32)
+    e_atom = jnp.asarray(rng.normal(size=(b.in_edges.shape[0], H, C)),
+                         jnp.float32)
+    rbf = jnp.asarray(rng.normal(size=(E, L, K)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(L * K, HC)), jnp.float32) * 0.3
     bias = jnp.asarray(rng.normal(size=(H, C)), jnp.float32)
     # geometry
     pos = b.positions
@@ -51,34 +53,38 @@ def _problem(make_molecule, rng, k=4):
     cbf = np.asarray(legendre_cos_harmonics(jnp.asarray(theta), L))
     a_ids = np.where(b.in_mask, in_src, -1).astype(np.int32)
     b_ids = np.where(b.out_mask, out_dst, -2).astype(np.int32)
-    return b, (q, k_, v, e_atom, G, bias), (z, cbf, pair_mask, a_ids, b_ids)
+    return b, (q, k_, v, e_atom, W, bias), (z, cbf, pair_mask, a_ids, b_ids,
+                                            rbf)
 
 
 def _xla_out(b, tensors, geom):
-    q, k, v, e_atom, G, bias = tensors
-    _, cbf, pair_mask, _, _ = geom
+    q, k, v, e_atom, W, bias = tensors
+    _, cbf, pair_mask, _, _, rbf = geom
+    G = jnp.einsum("elk,lkf->elf", rbf, W.reshape(L, K, HC))
     return blocked_attention(
-        q, k, v, e_atom, G, bias, jnp.asarray(cbf),
+        q, k, v, e_atom, G.reshape(-1, L, H, C), bias, jnp.asarray(cbf),
         jnp.asarray(b.in_edges), jnp.asarray(b.out_edges),
         jnp.asarray(pair_mask), jnp.asarray(b.edge_inpos))
 
 
 def _pallas_out(b, tensors, geom):
-    q, k, v, e_atom, G, bias = tensors
-    z, _, _, a_ids, b_ids = geom
+    q, k, v, e_atom, W, bias = tensors
+    z, _, _, a_ids, b_ids, rbf = geom
     in_e = jnp.asarray(b.in_edges)
     out_e = jnp.asarray(b.out_edges)
     N, D = b.in_edges.shape
+    w_bd = expand_block_diagonal(W, L, K, HC)
     out_blk = pallas_blocked_attention(
         q.reshape(-1, HC)[in_e],
         k.reshape(-1, HC)[out_e],
         v.reshape(-1, HC)[out_e],
         e_atom.reshape(-1, HC),
-        G.reshape(-1, L * HC)[out_e],
+        rbf.reshape(-1, L * K)[out_e],
+        w_bd,
         bias.reshape(1, HC),
         jnp.asarray(z, jnp.float32),
         jnp.asarray(a_ids), jnp.asarray(b_ids),
-        heads=H, interpret=True)
+        heads=H, num_radial=K, interpret=True)
     out_e_layout = out_blk.reshape(N * D, HC)[jnp.asarray(b.edge_inpos)]
     return out_e_layout.reshape(-1, H, C)
 
@@ -89,6 +95,19 @@ def test_pallas_forward_matches_xla(make_molecule, rng):
     got = np.asarray(_pallas_out(b, tensors, geom))
     em = b.edge_mask
     np.testing.assert_allclose(got[em], ref[em], rtol=3e-4, atol=3e-5)
+
+
+def test_expand_block_diagonal():
+    W = jnp.arange(L * K * 4, dtype=jnp.float32).reshape(L * K, 4)
+    bd = np.asarray(expand_block_diagonal(W, L, K, 4))
+    for l in range(L):
+        for n in range(K):
+            row = bd[l * K + n].reshape(L, 4)
+            np.testing.assert_array_equal(row[l],
+                                          np.asarray(W[l * K + n]))
+            mask = np.ones(L, bool)
+            mask[l] = False
+            assert (row[mask] == 0).all()
 
 
 def test_pallas_model_matches_segment(make_molecule, rng):
@@ -120,20 +139,18 @@ def test_pallas_gradients_match_xla(make_molecule, rng):
     b, tensors, geom = _problem(make_molecule, rng)
     em = jnp.asarray(b.edge_mask)
 
-    def loss_xla(q, k, v, e_atom, G, bias):
-        out = _xla_out(b, (q, k, v, e_atom, G, bias), geom)
-        return jnp.where(em[:, None, None], out, 0.0).sum() + (
-            jnp.where(em[:, None, None], out ** 2, 0.0)).sum()
+    def loss_xla(q, k, v, e_atom, W, bias):
+        out = _xla_out(b, (q, k, v, e_atom, W, bias), geom)
+        return jnp.where(em[:, None, None], out + out ** 2, 0.0).sum()
 
-    def loss_pal(q, k, v, e_atom, G, bias):
-        out = _pallas_out(b, (q, k, v, e_atom, G, bias), geom)
-        return jnp.where(em[:, None, None], out, 0.0).sum() + (
-            jnp.where(em[:, None, None], out ** 2, 0.0)).sum()
+    def loss_pal(q, k, v, e_atom, W, bias):
+        out = _pallas_out(b, (q, k, v, e_atom, W, bias), geom)
+        return jnp.where(em[:, None, None], out + out ** 2, 0.0).sum()
 
     g_ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(*tensors)
     g_got = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4, 5))(*tensors)
-    names = ["q", "k", "v", "e_atom", "G", "bias"]
+    names = ["q", "k", "v", "e_atom", "W", "bias"]
     for name, a, c in zip(names, g_ref, g_got):
         np.testing.assert_allclose(
-            np.asarray(c), np.asarray(a), rtol=2e-3, atol=2e-4,
+            np.asarray(c), np.asarray(a), rtol=3e-3, atol=3e-4,
             err_msg=f"grad mismatch for {name}")

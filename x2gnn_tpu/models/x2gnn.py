@@ -180,9 +180,11 @@ class X2GNN(nn.Module):
                         batch.edge_inpos,
                         z=z_cos, a_ids=a_ids, b_ids=b_ids)
             else:
+                conv_dtype = (jnp.bfloat16
+                              if cfg.compute_dtype == "bfloat16" else None)
                 out = EdgeAttentionConv(
                     cfg.in_channels, cfg.heads, cfg.dropout,
-                    layout=cfg.attention_layout,
+                    layout=cfg.attention_layout, dtype=conv_dtype,
                     name=f"conv_{i}")(
                         out, node_rbf, sbf, edge_attr,
                         batch.trip_src_edge, batch.trip_dst_edge,
@@ -190,6 +192,7 @@ class X2GNN(nn.Module):
                         nbr_trip=batch.nbr_trip, nbr_src=batch.nbr_src,
                         nbr_mask=batch.nbr_mask,
                         deterministic=deterministic)
+                out = out.astype(jnp.float32)
             out = GraphLayerNorm(name=f"norm_{i}")(
                 out, batch.edge_gid, num_graphs, mask=edge_mask)
             out = ResidualLayer(cfg.in_channels, name=f"bf_skip_{i}")(out)

@@ -22,7 +22,7 @@ Layouts:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,8 @@ class EdgeAttentionConv(nn.Module):
     # 'padded' = dense neighbor-table attention (TPU performance path,
     # requires nbr_* arrays from the batch)
     layout: str = "segment"
+    # computation dtype for projections + attention (params stay f32)
+    dtype: Optional[Any] = None
     # optional override: fn(q, k, v, e_proj, s_proj, trip_src, trip_dst,
     # mask, E) -> (E, H, C); used to swap in Pallas kernels.
     attention_fn: Optional[Callable] = None
@@ -78,20 +80,23 @@ class EdgeAttentionConv(nn.Module):
         C = self.channels // H
 
         rbf_filter = nn.Dense(
-            self.channels, use_bias=False,
+            self.channels, use_bias=False, dtype=self.dtype,
             kernel_init=glorot_orthogonal(), name="lin_rbf")(rbf)
         x_src = x * rbf_filter                      # gate K/V source features
         x_dst = x
 
-        query = TorchDense(self.channels, name="lin_query")(x_dst)
-        key = TorchDense(self.channels, name="lin_key")(x_src)
-        value = TorchDense(self.channels, name="lin_value")(x_src)
+        query = TorchDense(self.channels, dtype=self.dtype,
+                           name="lin_query")(x_dst)
+        key = TorchDense(self.channels, dtype=self.dtype,
+                         name="lin_key")(x_src)
+        value = TorchDense(self.channels, dtype=self.dtype,
+                           name="lin_value")(x_src)
         # one projection of the media-atom embedding, shared by key AND value
         # (sbftransformer_conv.py:142-158 adds the same tensor to both)
-        eattr = TorchDense(self.channels, use_bias=False,
+        eattr = TorchDense(self.channels, use_bias=False, dtype=self.dtype,
                            name="lin_edge")(edge_attr)
         sbf_proj = nn.Dense(
-            self.channels, use_bias=True,
+            self.channels, use_bias=True, dtype=self.dtype,
             kernel_init=glorot_orthogonal(),
             bias_init=nn.initializers.zeros, name="lin_sbf")(sbf)
 
@@ -172,23 +177,25 @@ class BlockedEdgeAttentionConv(nn.Module):
                             name="lin_edge")(atom_edge_attr)
         w_sbf, b_sbf = _LinearParams(L * K, self.channels,
                                      name="lin_sbf")()
-        # factored sbf projection: G[e, l, h, c] = sum_n W[l, n] rbf_env
-        G = jnp.einsum("elk,lkf->elf", rbf_env,
-                       w_sbf.reshape(L, K, self.channels))
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             assert z is not None and a_ids is not None
-            from x2gnn_tpu.ops.pallas import pallas_blocked_attention
+            from x2gnn_tpu.ops.pallas import (
+                expand_block_diagonal, pallas_blocked_attention)
             N, D = in_edges.shape
+            w_bd = expand_block_diagonal(w_sbf, L, K, self.channels)
+            rbf_blk = rbf_env.reshape(num_edges, L * K)[out_edges]
             out_blk = pallas_blocked_attention(
                 q[in_edges], k[out_edges], v[out_edges], e_atom,
-                G.reshape(num_edges, L * self.channels)[out_edges],
-                b_sbf.reshape(1, self.channels),
-                z, a_ids, b_ids, heads=H)
+                rbf_blk, w_bd, b_sbf.reshape(1, self.channels),
+                z, a_ids, b_ids, heads=H, num_radial=K)
             out = out_blk.reshape(N * D, self.channels)[edge_inpos]
         else:
+            # factored sbf projection: G[e,l,hc] = sum_n W[l,n] rbf_env
+            G = jnp.einsum("elk,lkf->elf", rbf_env,
+                           w_sbf.reshape(L, K, self.channels))
             out = blocked_attention(
                 q.reshape(num_edges, H, C),
                 k.reshape(num_edges, H, C),

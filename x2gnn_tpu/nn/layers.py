@@ -6,7 +6,7 @@ static-shape arrays and never branch on data.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,17 +19,21 @@ from x2gnn_tpu.ops.basis import radial_frequencies_init
 
 class Dense(nn.Module):
     """Linear with Glorot-orthogonal kernel + zero bias (the reference's
-    standard recipe, e.g. xgnn.py:26-36, residual_layer.py:16-19)."""
+    standard recipe, e.g. xgnn.py:26-36, residual_layer.py:16-19).
+
+    `dtype`: computation dtype (params stay float32); None = float32."""
 
     features: int
     use_bias: bool = True
     scale: float = 2.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=glorot_orthogonal(self.scale),
             bias_init=nn.initializers.zeros,
         )(x)
@@ -42,6 +46,7 @@ class TorchDense(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -49,6 +54,7 @@ class TorchDense(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(fan_in),
         )(x)

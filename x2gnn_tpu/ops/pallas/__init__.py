@@ -1,2 +1,4 @@
 from x2gnn_tpu.ops.pallas.blocked_attn import (  # noqa: F401
-    pallas_blocked_attention)
+    expand_block_diagonal,
+    pallas_blocked_attention,
+)

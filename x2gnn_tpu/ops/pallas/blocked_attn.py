@@ -1,29 +1,35 @@
 """Fused Pallas kernel for atom-blocked attention (forward + custom VJP).
 
 Fuses, per atom block: score SDDMM, masked softmax, Legendre angular
-basis (computed in-register from cos(theta)), the factored spherical-basis
-modulation s = sum_l pref_l P_l(z) G_l + b, and the output reduction —
-one VMEM-resident pass instead of ~10 XLA HBM round trips. The backward
-kernel recomputes the softmax (flash-attention style) and produces
-gradients for q/k/v/e/G/b only (geometry z and index tables are data).
+basis (computed in-register from cos(theta)), the spherical-basis
+projection AND modulation, and the output reduction — one VMEM-resident
+pass instead of ~10 XLA HBM round trips. The backward kernel recomputes
+the softmax (flash-attention style) and produces gradients for
+q/k/v/e/W/b only (geometry inputs carry no parameters).
 
-Mosaic-specific formulation: the TPU vector layout cannot split the
-128-lane dimension, so per-head reductions/broadcasts over the packed
-(H*C = 128) channel axis are expressed as matmuls against a constant
-(HC, H) head-indicator matrix (sum C lanes per head) and its transpose
-(broadcast H values to C lanes each) — both MXU-friendly. The L=7 basis
-blocks of G live in 128-aligned lane slices of a (D, L*HC) ref.
+Mosaic-specific formulation:
+  * per-head lane reductions/broadcasts over the packed (H*C = 128)
+    channel axis are matmuls against an iota-built (HC, H) head-indicator
+    matrix — MXU-friendly, no lane-splitting reshapes;
+  * the sbf projection G[e, l, :] = sum_n W[l*K+n, :] rbf[e, l*K+n] is ONE
+    matmul against a block-diagonal expansion W_bd (L*K, L*HC) built by
+    the caller — this keeps the kernel's HBM traffic at the tiny
+    (D, L*K) radial factors instead of gathering (D, L*HC) G rows;
+  * the L basis blocks of the resulting G live in 128-aligned lane slices;
+  * the per-atom loop is a fori_loop so one atom's (D, D, HC) temporaries
+    are reused (VMEM ~ inputs + one atom's scratch).
 
-Inputs are pre-gathered into the blocked layout by XLA (row gathers are
-cheap relative to the fused math):
-    q_blk/k_blk/v_blk: (N, D, HC)   per-atom in/out edge projections
-    e_atom:            (N, HC)      media-atom edge_attr projection
-    G_blk:             (N, D, L*HC) factored sbf radial projection
-    s_bias:            (1, HC)      lin_sbf bias
-    z:                 (N, D, D)    cos(angle) between in/out edge pairs
-    a_ids/b_ids:       (N, D) int32 atom ids (-1/-2 for padding) used to
-                       mask invalid and backtracking (i == k) pairs
-Returns out_blk (N, D, HC).
+Inputs (pre-gathered into the blocked layout by XLA):
+    q_blk/k_blk/v_blk: (N, D, HC)    per-atom in/out edge projections
+    e_atom:            (N, HC)       media-atom edge_attr projection
+    rbf_blk:           (N, D, L*K)   radial sbf factors of the out-edges
+    w_bd:              (L*K, L*HC)   block-diagonal lin_sbf kernel
+    s_bias:            (1, HC)       lin_sbf bias
+    z:                 (N, D, D)     cos(angle) between in/out edge pairs
+    a_ids/b_ids:       (N, D) int32  atom ids (-1/-2 pad) masking invalid
+                       and backtracking (i == k) pairs
+Returns out_blk (N, D, HC). Gradients flow to q/k/v/e_atom/w_bd/s_bias;
+rbf_blk and z are geometry (no trainable dependence) and receive zeros.
 """
 
 from __future__ import annotations
@@ -39,9 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+def expand_block_diagonal(w, L: int, K: int, HC: int):
+    """(L*K, HC) -> (L*K, L*HC) with W_bd[l*K+n, l*HC:(l+1)*HC] = w[l*K+n].
+    Plain jnp (differentiable), built once per conv application."""
+    w3 = w.reshape(L, K, HC)
+    out = jnp.zeros((L, K, L, HC), w.dtype)
+    idx = jnp.arange(L)
+    out = out.at[idx, :, idx, :].set(w3)
+    return out.reshape(L * K, L * HC)
+
+
 def _head_indicator(H: int, C: int):
-    """(H*C, H) block indicator: M[h*C + c, h] = 1. Built from iota so it
-    is generated in-kernel (Pallas forbids captured array constants)."""
+    """(H*C, H) block indicator M[h*C + c, h] = 1, built from iota
+    (Pallas forbids captured array constants)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (H * C, H), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (H * C, H), 1)
     return (row // C == col).astype(jnp.float32)
@@ -65,163 +81,164 @@ def _mm(a, b):
 
 
 def _heads_sum(x_flat, Mind):
-    """(R, HC) -> (R, H): sum C lanes per head via matmul."""
     return _mm(x_flat, Mind)
 
 
 def _heads_bcast(x_h, Mind):
-    """(R, H) -> (R, HC): broadcast each head value to its C lanes."""
     return _mm(x_h, Mind.T)
 
 
-def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind, D, H, C, L):
-    """Forward math for one atom. q/k/v: (D, HC); z/valid: (D, D) with
-    valid as a 0/1 float mask (Mosaic cannot insert minor dims on i1
-    vectors); G_flat: (D, L*HC). Returns (alpha (D,D,H),
-    alpha_rep (D,D,HC), s (D,D,HC), out (D,HC))."""
+def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
+                    BA, D, H, C, L):
+    """Forward math for a whole atom block, vectorized over BA atoms (the
+    VPU is fed (BA*D*D, HC) slabs instead of per-atom crumbs).
+    q/k/v: (BA, D, HC); z/valid: (BA, D, D); G_flat: (BA, D, L*HC).
+    Returns (alpha (BA,Di,Dk,H), alpha_rep (BA,Di,Dk,HC), s (...,HC),
+    out (BA,D,HC))."""
     HC = H * C
-    validf = valid[:, :, None]                           # (Di, Dk, 1) f32
-    prod = q[:, None, :] * k[None, :, :]                 # (Di, Dk, HC)
-    scores = _heads_sum(prod.reshape(D * D, HC), Mind)   # (Di*Dk, H)
-    scores = scores.reshape(D, D, H) / float(np.sqrt(C))
+    validf = jnp.expand_dims(valid, -1)                # (BA, Di, Dk, 1)
+    prod = jnp.expand_dims(q, 2) * jnp.expand_dims(k, 1)  # (BA,Di,Dk,HC)
+    scores = _heads_sum(prod.reshape(BA * D * D, HC), Mind)
+    scores = scores.reshape(BA, D, D, H) / float(np.sqrt(C))
     scores = scores * validf + (1.0 - validf) * _NEG
-    smax = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), _NEG / 2)
+    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
     ex = jnp.exp(scores - smax)
     ex = ex * validf
-    denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
-    alpha = ex / denom                                   # (Di, Dk, H)
-    alpha_rep = _heads_bcast(alpha.reshape(D * D, H), Mind)
-    alpha_rep = alpha_rep.reshape(D, D, HC)
+    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+    alpha = ex / denom
+    alpha_rep = _heads_bcast(alpha.reshape(BA * D * D, H), Mind)
+    alpha_rep = alpha_rep.reshape(BA, D, D, HC)
 
-    P = _legendre_stack(z, L)                            # list (Di, Dk)
-    s = jnp.broadcast_to(s_bias[None, None, :], (D, D, HC))
+    P = _legendre_stack(z, L)                          # list (BA, Di, Dk)
+    s = jnp.broadcast_to(s_bias.reshape(1, 1, 1, HC), (BA, D, D, HC))
     for l in range(L):
-        s = s + P[l][:, :, None] * G_flat[:, l * HC:(l + 1) * HC][None]
-    msg = v[None, :, :] * s * alpha_rep
-    out = msg.sum(axis=1)                                # (Di, HC)
+        Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
+        s = s + (jnp.expand_dims(P[l], -1)
+                 * jnp.expand_dims(Gl, 1))
+    msg = jnp.expand_dims(v, 1) * s * alpha_rep
+    out = msg.sum(axis=2)                              # (BA, Di, HC)
     return alpha, alpha_rep, s, out
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, G_ref, b_ref, z_ref,
-                a_ref, b_ids_ref, out_ref, *, BA, D, H, C, L):
+def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
+                a_ref, b_ids_ref, out_ref, *, BA, D, H, C, L, K):
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
-
-    # fori_loop (not a python unroll) so each atom's (D, D, HC)
-    # temporaries are reused instead of all BA copies being live at once
-    def body(a, _):
-        q = q_ref[a]
-        k = k_ref[a] + e_ref[a, 0][None, :]
-        v = v_ref[a] + e_ref[a, 0][None, :]
-        z = z_ref[a]
-        aid = a_ref[a, 0]
-        bid = b_ids_ref[a, 0]
-        valid = ((aid[:, None] != bid[None, :])
-                 & (aid[:, None] >= 0)
-                 & (bid[None, :] >= 0)).astype(jnp.float32)
-        _, _, _, out = _attention_core(
-            q, k, v, z, valid, G_ref[a], bias, Mind, D, H, C, L)
-        out_ref[a] = out
-        return 0
-
-    jax.lax.fori_loop(0, BA, body, 0)
+    w_bd = w_ref[:]                                      # (LK, L*HC)
+    q = q_ref[:]
+    e = jnp.expand_dims(e_ref[:, 0], 1)                  # (BA, 1, HC)
+    k = k_ref[:] + e
+    v = v_ref[:] + e
+    z = z_ref[:]
+    aid = jnp.expand_dims(a_ref[:, 0], 2)                # (BA, D, 1)
+    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, D)
+    valid = ((aid != bid) & (aid >= 0)
+             & (bid >= 0)).astype(jnp.float32)
+    G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
+                 w_bd).reshape(BA, D, L * (H * C))
+    _, _, _, out = _attention_core(
+        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L)
+    out_ref[:] = out
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, G_ref, b_ref, z_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
                 a_ref, b_ids_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, de_ref, dG_ref, db_ref,
-                *, BA, D, H, C, L):
+                dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref,
+                *, BA, D, H, C, L, K):
     HC = H * C
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
+    w_bd = w_ref[:]
     prog = pl.program_id(0)
 
     @pl.when(prog == 0)
     def _():
         db_ref[:] = jnp.zeros((1, HC), jnp.float32)
+        dw_ref[:] = jnp.zeros((L * K, L * HC), jnp.float32)
 
-    def body(a, db_acc):
-        q = q_ref[a]
-        k = k_ref[a] + e_ref[a, 0][None, :]
-        v = v_ref[a] + e_ref[a, 0][None, :]
-        z = z_ref[a]
-        aid = a_ref[a, 0]
-        bid = b_ids_ref[a, 0]
-        valid = ((aid[:, None] != bid[None, :])
-                 & (aid[:, None] >= 0)
-                 & (bid[None, :] >= 0)).astype(jnp.float32)
-        G_flat = G_ref[a]
-        alpha, alpha_rep, s, _ = _attention_core(
-            q, k, v, z, valid, G_flat, bias, Mind, D, H, C, L)
-        g = g_ref[a]                                     # (Di, HC)
+    q = q_ref[:]
+    e = jnp.expand_dims(e_ref[:, 0], 1)
+    k = k_ref[:] + e
+    v = v_ref[:] + e
+    z = z_ref[:]
+    aid = jnp.expand_dims(a_ref[:, 0], 2)
+    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)
+    valid = ((aid != bid) & (aid >= 0)
+             & (bid >= 0)).astype(jnp.float32)
+    rbf = rbf_ref[:].reshape(BA * D, L * K)
+    G_flat = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+    alpha, alpha_rep, sfull, _ = _attention_core(
+        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L)
+    g = g_ref[:]                                         # (BA, Di, HC)
 
-        # msg = v_k * s_ik * alpha_ik (broadcast over i)
-        ds = g[:, None, :] * v[None, :, :] * alpha_rep   # (Di, Dk, HC)
-        dv_from_msg = (g[:, None, :] * s * alpha_rep).sum(axis=0)
-        dalpha_rep = g[:, None, :] * v[None, :, :] * s   # (Di, Dk, HC)
-        dalpha = _heads_sum(dalpha_rep.reshape(D * D, HC), Mind)
-        dalpha = dalpha.reshape(D, D, H)
-        # softmax backward over the k axis
-        inner = (alpha * dalpha).sum(axis=1, keepdims=True)
-        dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
-        dscores = dscores * valid[:, :, None]
-        dsc_rep = _heads_bcast(dscores.reshape(D * D, H), Mind)
-        dsc_rep = dsc_rep.reshape(D, D, HC)
-        dq = (dsc_rep * k[None, :, :]).sum(axis=1)       # (Di, HC)
-        dk = (dsc_rep * q[:, None, :]).sum(axis=0)       # (Dk, HC)
+    # msg = v_k * s_ik * alpha_ik (broadcast over i)
+    g4 = jnp.expand_dims(g, 2)                           # (BA, Di, 1, HC)
+    v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
+    ds = g4 * v4 * alpha_rep
+    dv_from_msg = (g4 * sfull * alpha_rep).sum(axis=1)
+    dalpha_rep = g4 * v4 * sfull
+    dalpha = _heads_sum(dalpha_rep.reshape(BA * D * D, HC), Mind)
+    dalpha = dalpha.reshape(BA, D, D, H)
+    inner = (alpha * dalpha).sum(axis=2, keepdims=True)
+    dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
+    dscores = dscores * jnp.expand_dims(valid, -1)
+    dsc_rep = _heads_bcast(dscores.reshape(BA * D * D, H), Mind)
+    dsc_rep = dsc_rep.reshape(BA, D, D, HC)
+    dq = (dsc_rep * jnp.expand_dims(k, 1)).sum(axis=2)  # (BA, Di, HC)
+    dk = (dsc_rep * jnp.expand_dims(q, 2)).sum(axis=1)   # (BA, Dk, HC)
 
-        # s = bias + sum_l P_l G_l
-        P = _legendre_stack(z, L)
-        for l in range(L):
-            dG_ref[a, :, l * HC:(l + 1) * HC] = (
-                P[l][:, :, None] * ds).sum(axis=0)
-        db_acc = db_acc + ds.sum(axis=(0, 1))[None, :]
+    # s = bias + sum_l P_l * G_l with G = rbf @ W_bd
+    P = _legendre_stack(z, L)
+    dG_parts = [(jnp.expand_dims(P[l], -1) * ds).sum(axis=1)
+                for l in range(L)]
+    dG_flat = jnp.concatenate(dG_parts, axis=-1)         # (BA, Dk, L*HC)
+    dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
+        rbf, dG_flat.reshape(BA * D, L * HC),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db_ref[:] = db_ref[:] + ds.sum(axis=(0, 1, 2))[None, :]
 
-        dq_ref[a] = dq
-        dk_ref[a] = dk
-        dv_ref[a] = dv_from_msg
-        de_ref[a, 0] = (dk + dv_from_msg).sum(axis=0)
-        return db_acc
-
-    db_acc = jax.lax.fori_loop(0, BA, body,
-                               jnp.zeros((1, HC), jnp.float32))
-    db_ref[:] = db_ref[:] + db_acc
+    dq_ref[:] = dq
+    dk_ref[:] = dk
+    dv_ref[:] = dv_from_msg
+    de_ref[:] = jnp.expand_dims((dk + dv_from_msg).sum(axis=1), 1)
 
 
-def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias,
-                             z, a_ids, b_ids, heads: int,
+def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
+                             s_bias, z, a_ids, b_ids, heads: int,
+                             num_radial: int,
                              block_atoms: int | None = None,
                              interpret: bool | None = None):
-    """Fused blocked attention; differentiable in q/k/v/e/G/bias.
-
-    block_atoms: atoms per grid program (the in-kernel fori_loop reuses
-    one atom's (D, D, HC) temporaries across iterations, so VMEM usage is
-    ~inputs + one atom's scratch regardless of BA)."""
+    """Fused blocked attention; differentiable in q/k/v/e_atom/w_bd/bias
+    (rbf_blk and z are geometry — their grads are zero)."""
     N, D, HC = q_blk.shape
-    L = G_blk.shape[-1] // HC
+    K = num_radial
+    L = rbf_blk.shape[-1] // K
     H = heads
     C = HC // H
     if block_atoms is None:
-        # large-degree batches: smaller input blocks keep the program under
-        # the 16MB VMEM scoped budget (temps are one atom's regardless)
-        block_atoms = 8 if D <= 40 else 2
+        per_atom = D * D * HC * 4 * 8   # ~8 live (D,D,HC) temporaries
+        block_atoms = 8
+        while block_atoms > 1 and block_atoms * per_atom > 10 * 2 ** 20:
+            block_atoms //= 2
     BA = block_atoms
     assert N % BA == 0, f"N={N} must be a multiple of block_atoms={BA}"
     n_blocks = N // BA
     interp = (jax.default_backend() != "tpu"
               if interpret is None else interpret)
 
-    # 2D per-atom arrays are lifted to (N, 1, X) so the block's last two
-    # dims satisfy TPU tiling for any BA (unit dim == array dim)
-    e_atom = e_atom.reshape(N, 1, HC)
-    a_ids = a_ids.reshape(N, 1, D)
-    b_ids = b_ids.reshape(N, 1, D)
+    # 2D per-atom arrays lifted to (N, 1, X) so block tiles satisfy the
+    # last-two-dims constraints at any BA (unit dim == array dim)
+    e_atom3 = e_atom.reshape(N, 1, HC)
+    a_ids3 = a_ids.reshape(N, 1, D)
+    b_ids3 = b_ids.reshape(N, 1, D)
     specs = dict(
         q=pl.BlockSpec((BA, D, HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
         e=pl.BlockSpec((BA, 1, HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-        G=pl.BlockSpec((BA, D, L * HC), lambda i: (i, 0, 0),
+        rbf=pl.BlockSpec((BA, D, L * K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        w=pl.BlockSpec((L * K, L * HC), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
         b=pl.BlockSpec((1, HC), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
@@ -231,49 +248,54 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias,
                          memory_space=pltpu.VMEM),
     )
 
-    def _run_fwd(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias):
-        kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C, L=L)
+    def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
+        kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C, L=L,
+                                 K=K)
         return pl.pallas_call(
             kern,
             grid=(n_blocks,),
             in_specs=[specs["q"], specs["q"], specs["q"], specs["e"],
-                      specs["G"], specs["b"], specs["z"], specs["ids"],
-                      specs["ids"]],
+                      specs["rbf"], specs["w"], specs["b"], specs["z"],
+                      specs["ids"], specs["ids"]],
             out_specs=specs["q"],
             out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
             interpret=interp,
-        )(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias, z, a_ids, b_ids)
+        )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
+          a_ids3, b_ids3)
 
     @jax.custom_vjp
-    def run(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias):
-        return _run_fwd(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias)
+    def run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
+        return _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
 
-    def fwd(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias):
-        out = _run_fwd(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias)
-        return out, (q_blk, k_blk, v_blk, e_atom, G_blk, s_bias)
+    def fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
+        out = _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
+        return out, (q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
 
     def bwd(res, g):
-        q_blk, k_blk, v_blk, e_atom, G_blk, s_bias = res
-        kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C, L=L)
-        dq, dk, dv, de, dG, db = pl.pallas_call(
+        q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias = res
+        kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C, L=L,
+                                 K=K)
+        dq, dk, dv, de, dw, db = pl.pallas_call(
             kern,
             grid=(n_blocks,),
             in_specs=[specs["q"], specs["q"], specs["q"], specs["e"],
-                      specs["G"], specs["b"], specs["z"], specs["ids"],
-                      specs["ids"], specs["q"]],
+                      specs["rbf"], specs["w"], specs["b"], specs["z"],
+                      specs["ids"], specs["ids"], specs["q"]],
             out_specs=(specs["q"], specs["q"], specs["q"], specs["e"],
-                       specs["G"], specs["b"]),
+                       specs["w"], specs["b"]),
             out_shape=(
                 jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
                 jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
                 jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
                 jax.ShapeDtypeStruct((N, 1, HC), jnp.float32),
-                jax.ShapeDtypeStruct((N, D, L * HC), jnp.float32),
+                jax.ShapeDtypeStruct((L * K, L * HC), jnp.float32),
                 jax.ShapeDtypeStruct((1, HC), jnp.float32),
             ),
             interpret=interp,
-        )(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias, z, a_ids, b_ids, g)
-        return dq, dk, dv, de.reshape(N, HC), dG, db
+        )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
+          a_ids3, b_ids3, g)
+        return dq, dk, dv, de, dw, db
 
     run.defvjp(fwd, bwd)
-    return run(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias)
+    out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
+    return out
