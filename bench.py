@@ -126,18 +126,26 @@ def main():
     rbf = jnp.asarray(rng.normal(size=(E, L * K_rad)), f32)
     W_sbf = jnp.asarray(rng.normal(size=(L * K_rad, H * C)), f32) * 0.3
 
+    from x2gnn_tpu.ops.attention import blocked_to_edges, injective_gather
+    edge_outpos = jnp.asarray(batch.edge_outpos)
+    in_mask_j = jnp.asarray(batch.in_mask)
+    edge_mask_j = jnp.asarray(batch.edge_mask)
+
     def pal_loss(q, k, v):
         qf = q.reshape(E, H * C)
         kf = k.reshape(E, H * C)
         vf = v.reshape(E, H * C)
         w_bd = expand_block_diagonal(W_sbf, L, K_rad, H * C)
-        out = pallas_blocked_attention(
-            qf[in_edges], kf[out_edges], vf[out_edges],
+        out_blk = pallas_blocked_attention(
+            injective_gather(qf, in_edges, edge_inpos, edge_mask_j),
+            injective_gather(kf, out_edges, edge_outpos, edge_mask_j),
+            injective_gather(vf, out_edges, edge_outpos, edge_mask_j),
             e_atom.reshape(N, H * C),
             rbf[out_edges], w_bd,
             s_bias.reshape(1, H * C), z, in_src_j, out_dst_j,
             heads=H, num_radial=K_rad)
-        return (out.reshape(N * D, H * C)[edge_inpos] ** 2).sum()
+        out = blocked_to_edges(out_blk, edge_inpos, in_edges, in_mask_j)
+        return (out ** 2).sum()
 
     seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))
     pad_step = jax.jit(jax.grad(pad_loss, argnums=(0, 1, 2)))

@@ -79,6 +79,60 @@ def test_blocked_model_equivalence(make_molecule, rng):
     np.testing.assert_allclose(out_seg, out_blk, rtol=5e-4, atol=5e-5)
 
 
+def test_injective_gather_grads(make_molecule, rng):
+    """Custom-VJP gathers must match plain-gather autodiff exactly."""
+    import jax.numpy as jnp
+    from x2gnn_tpu.ops.attention import blocked_to_edges, injective_gather
+    b = _batch(make_molecule, rng)
+    E = b.edge_src.shape[0]
+    N, D = b.in_edges.shape
+    x = jnp.asarray(rng.normal(size=(E, 16)), jnp.float32)
+    tbl = jnp.asarray(b.out_edges)
+    pos = jnp.asarray(b.edge_outpos)
+    em = jnp.asarray(b.edge_mask)
+    om = jnp.asarray(b.out_mask)
+
+    # forward identical
+    np.testing.assert_array_equal(
+        np.asarray(injective_gather(x, tbl, pos, em)), np.asarray(x[tbl]))
+
+    # backward: compare against autodiff of the plain gather, with
+    # cotangents masked like real attention grads (pad slots zero)
+    g_blk = jnp.asarray(rng.normal(size=(N, D, 16)), jnp.float32)
+    g_blk = jnp.where(om[..., None], g_blk, 0.0)
+
+    def loss_plain(x):
+        return (x[tbl] * g_blk).sum()
+
+    def loss_inj(x):
+        return (injective_gather(x, tbl, pos, em) * g_blk).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_inj)(x)),
+        np.asarray(jax.grad(loss_plain)(x)), rtol=1e-6, atol=1e-6)
+
+    # blocked_to_edges: fwd + bwd vs plain indexing
+    xb = jnp.asarray(rng.normal(size=(N, D, 16)), jnp.float32)
+    ipos = jnp.asarray(b.edge_inpos)
+    itbl = jnp.asarray(b.in_edges)
+    imask = jnp.asarray(b.in_mask)
+    np.testing.assert_array_equal(
+        np.asarray(blocked_to_edges(xb, ipos, itbl, imask)),
+        np.asarray(xb.reshape(N * D, 16)[ipos]))
+    ge = jnp.asarray(rng.normal(size=(E, 16)), jnp.float32)
+    ge = jnp.where(em[:, None], ge, 0.0)   # pad edges carry no cotangent
+
+    def loss_plain2(xb):
+        return (xb.reshape(N * D, 16)[ipos] * ge).sum()
+
+    def loss_b2e(xb):
+        return (blocked_to_edges(xb, ipos, itbl, imask) * ge).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_b2e)(xb)),
+        np.asarray(jax.grad(loss_plain2)(xb)), rtol=1e-6, atol=1e-6)
+
+
 def test_blocked_tables_consistent(make_molecule, rng):
     b = _batch(make_molecule, rng)
     em = b.edge_mask

@@ -78,6 +78,11 @@ class GraphBatch:
     out_mask: np.ndarray       # (N, D) bool
     edge_inpos: np.ndarray     # (E,) int32 flat n*D+slot of each edge in
                                # the in-table (blocked -> E-layout gather)
+    edge_outpos: np.ndarray    # (E,) int32 flat n*D+slot of each edge in
+                               # the out-table (every edge occupies exactly
+                               # one slot in each table, so blocked-layout
+                               # gathers are injective and their backward
+                               # is a gather too — no scatter anywhere)
 
     @property
     def num_graphs(self) -> int:
@@ -208,6 +213,7 @@ def pad_graphs(
     out_edges = np.zeros((n_node, n_deg), dtype=np.int32)
     out_mask_t = np.zeros((n_node, n_deg), dtype=bool)
     edge_inpos = np.zeros(n_edge, dtype=np.int32)
+    edge_outpos = np.zeros(n_edge, dtype=np.int32)
     if e0 > 0:
         real_dst = edge_dst[:e0]
         real_src = edge_src[:e0]
@@ -232,6 +238,8 @@ def pad_graphs(
         slot_s = np.arange(e0) - starts_s[real_src[order_s]]
         out_edges[real_src[order_s], slot_s] = order_s
         out_mask_t[real_src[order_s], slot_s] = True
+        edge_outpos[order_s] = (real_src[order_s] * n_deg
+                                + slot_s).astype(np.int32)
 
     return GraphBatch(
         numbers=numbers, positions=positions,
@@ -244,6 +252,7 @@ def pad_graphs(
         nbr_trip=nbr_trip, nbr_src=nbr_src, nbr_mask=nbr_mask,
         in_edges=in_edges, in_mask=in_mask_t,
         out_edges=out_edges, out_mask=out_mask_t, edge_inpos=edge_inpos,
+        edge_outpos=edge_outpos,
     )
 
 

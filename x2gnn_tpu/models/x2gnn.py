@@ -178,7 +178,9 @@ class X2GNN(nn.Module):
                         out, node_rbf, rbf_env, cbf, edge_attr,
                         batch.in_edges, batch.out_edges, pair_mask,
                         batch.edge_inpos,
-                        z=z_cos, a_ids=a_ids, b_ids=b_ids)
+                        z=z_cos, a_ids=a_ids, b_ids=b_ids,
+                        edge_outpos=batch.edge_outpos,
+                        in_mask=batch.in_mask, edge_mask=edge_mask)
             else:
                 conv_dtype = (jnp.bfloat16
                               if cfg.compute_dtype == "bfloat16" else None)

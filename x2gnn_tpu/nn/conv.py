@@ -154,7 +154,8 @@ class BlockedEdgeAttentionConv(nn.Module):
     @nn.compact
     def __call__(self, x, rbf, rbf_env, cbf, atom_edge_attr,
                  in_edges, out_edges, pair_mask, edge_inpos,
-                 z=None, a_ids=None, b_ids=None):
+                 z=None, a_ids=None, b_ids=None,
+                 edge_outpos=None, in_mask=None, edge_mask=None):
         """x: (E, C); rbf: (E, K); rbf_env: (E, L, K) radial sbf factor;
         cbf: (N, D, D, L) angular factor; atom_edge_attr: (N, emb);
         z/a_ids/b_ids: cos(angle) + masked atom-id tables for the Pallas
@@ -182,16 +183,36 @@ class BlockedEdgeAttentionConv(nn.Module):
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             assert z is not None and a_ids is not None
+            from x2gnn_tpu.ops.attention import (
+                blocked_to_edges, injective_gather)
             from x2gnn_tpu.ops.pallas import (
                 expand_block_diagonal, pallas_blocked_attention)
             N, D = in_edges.shape
             w_bd = expand_block_diagonal(w_sbf, L, K, self.channels)
+            # injective gathers: each edge occupies exactly one slot of
+            # each table, so every backward here is a gather, not a
+            # scatter-add (edge_inpos/edge_outpos are the inverses)
+            if edge_outpos is not None:
+                q_blk = injective_gather(q, in_edges, edge_inpos,
+                                         edge_mask)
+                k_blk = injective_gather(k, out_edges, edge_outpos,
+                                         edge_mask)
+                v_blk = injective_gather(v, out_edges, edge_outpos,
+                                         edge_mask)
+            else:  # fallback for callers without inverse tables
+                q_blk = q[in_edges]
+                k_blk = k[out_edges]
+                v_blk = v[out_edges]
             rbf_blk = rbf_env.reshape(num_edges, L * K)[out_edges]
             out_blk = pallas_blocked_attention(
-                q[in_edges], k[out_edges], v[out_edges], e_atom,
+                q_blk, k_blk, v_blk, e_atom,
                 rbf_blk, w_bd, b_sbf.reshape(1, self.channels),
                 z, a_ids, b_ids, heads=H, num_radial=K)
-            out = out_blk.reshape(N * D, self.channels)[edge_inpos]
+            if edge_outpos is not None and in_mask is not None:
+                out = blocked_to_edges(out_blk, edge_inpos, in_edges,
+                                       in_mask)
+            else:
+                out = out_blk.reshape(N * D, self.channels)[edge_inpos]
         else:
             # factored sbf projection: G[e,l,hc] = sum_n W[l,n] rbf_env
             G = jnp.einsum("elk,lkf->elf", rbf_env,

@@ -20,6 +20,62 @@ from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
 _NEG = -1e30
 
 
+def injective_gather(x, table, inv_pos, row_mask):
+    """x[table] where `table` (N, D) lists each real row of x exactly once
+    (pad slots point at row 0) and `inv_pos` (E,) gives each row's flat
+    slot n*D + d. Because the mapping is injective, the backward pass is
+    a GATHER of the cotangent at inv_pos — never a scatter-add. This is
+    what makes the blocked layout scatter-free end to end.
+
+    `row_mask` (E,) marks real rows: pad rows' inv_pos points at slot 0
+    (a real slot), so their backward reads must be masked out — without
+    it, slot 0's cotangent would leak into pad-row gradients.
+    """
+
+    @jax.custom_vjp
+    def run(x):
+        return x[table]
+
+    def fwd(x):
+        return x[table], ()
+
+    def bwd(_, g):
+        N, D = table.shape
+        flat = g.reshape((N * D,) + g.shape[2:])
+        out = flat[inv_pos]
+        m = row_mask.reshape(row_mask.shape + (1,) * (out.ndim - 1))
+        return (jnp.where(m, out, 0.0),)
+
+    run.defvjp(fwd, bwd)
+    return run(x)
+
+
+def blocked_to_edges(x_blk, pos, table, mask):
+    """Inverse of injective_gather: read E edge rows out of a blocked
+    (N, D, ...) array at flat slots `pos` (E,). Backward fills each
+    blocked slot from its (unique) edge via `table` (N, D) + `mask` —
+    again a gather, never a scatter."""
+
+    def _apply(xb):
+        N, D = table.shape
+        return xb.reshape((N * D,) + xb.shape[2:])[pos]
+
+    @jax.custom_vjp
+    def run(xb):
+        return _apply(xb)
+
+    def fwd(xb):
+        return _apply(xb), ()
+
+    def bwd(_, g):
+        blk = g[table]                       # (N, D, ...)
+        m = mask.reshape(mask.shape + (1,) * (blk.ndim - mask.ndim))
+        return (jnp.where(m, blk, 0.0),)
+
+    run.defvjp(fwd, bwd)
+    return run(x_blk)
+
+
 def segment_attention(q, k, v, e, s, trip_src, trip_dst, trip_mask,
                       num_edges: int):
     """q/k/v: (E, H, C); e/s: (T, H, C) per-triplet edge-attr and sbf
