@@ -67,7 +67,7 @@ def _xla_out(b, tensors, geom):
         jnp.asarray(pair_mask), jnp.asarray(b.edge_inpos))
 
 
-def _pallas_out(b, tensors, geom):
+def _pallas_out(b, tensors, geom, i_chunk=None):
     q, k, v, e_atom, W, bias = tensors
     z, _, _, a_ids, b_ids, rbf = geom
     in_e = jnp.asarray(b.in_edges)
@@ -84,7 +84,7 @@ def _pallas_out(b, tensors, geom):
         bias.reshape(1, HC),
         jnp.asarray(z, jnp.float32),
         jnp.asarray(a_ids), jnp.asarray(b_ids),
-        heads=H, num_radial=K, interpret=True)
+        heads=H, num_radial=K, interpret=True, i_chunk=i_chunk)
     out_e_layout = out_blk.reshape(N * D, HC)[jnp.asarray(b.edge_inpos)]
     return out_e_layout.reshape(-1, H, C)
 
@@ -133,6 +133,84 @@ def test_pallas_model_matches_segment(make_molecule, rng):
     out_seg = np.asarray(model_seg.apply(params, b))
     out_pal = np.asarray(model_pal.apply(params, b))
     np.testing.assert_allclose(out_pal, out_seg, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_ichunk_forward_matches_xla(make_molecule, rng):
+    """The i-chunked kernel (large-degree path) on a small-D problem."""
+    b, tensors, geom = _problem(make_molecule, rng)
+    D = b.in_edges.shape[1]
+    ic = 8 if D % 8 == 0 else D
+    ref = np.asarray(_xla_out(b, tensors, geom))
+    got = np.asarray(_pallas_out(b, tensors, geom, i_chunk=ic))
+    em = b.edge_mask
+    np.testing.assert_allclose(got[em], ref[em], rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_ichunk_gradients_match_xla(make_molecule, rng):
+    b, tensors, geom = _problem(make_molecule, rng)
+    D = b.in_edges.shape[1]
+    ic = 8 if D % 8 == 0 else D
+    em = jnp.asarray(b.edge_mask)
+
+    def loss_xla(*t):
+        out = _xla_out(b, t, geom)
+        return jnp.where(em[:, None, None], out + out ** 2, 0.0).sum()
+
+    def loss_pal(*t):
+        out = _pallas_out(b, t, geom, i_chunk=ic)
+        return jnp.where(em[:, None, None], out + out ** 2, 0.0).sum()
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(*tensors)
+    g_got = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4, 5))(*tensors)
+    for name, a, c in zip(["q", "k", "v", "e_atom", "W", "bias"],
+                          g_ref, g_got):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=3e-3, atol=3e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_pallas_large_degree_auto_chunks(rng):
+    """A dense 44-atom near-complete graph gives D > 40, which must
+    auto-dispatch to the i-chunked kernel (the one-shot kernel's
+    temporaries would exceed VMEM on hardware)."""
+    from tests.conftest import random_molecule
+    numbers, pos = random_molecule(rng, n_atoms=44, box=1.4, min_dist=0.7)
+    g = build_mol_graph(numbers, pos, y=np.array([0.0]), edge_feat_dim=8)
+    b = pad_graphs([g], pad_budget_for([g], 1))
+    D = b.in_edges.shape[1]
+    assert D > 40, f"test setup: expected dense graph, got D={D}"
+    E = b.edge_src.shape[0]
+    q = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
+    k_ = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(E, H, C)), jnp.float32)
+    e_atom = jnp.asarray(rng.normal(size=(b.in_edges.shape[0], H, C)),
+                         jnp.float32)
+    rbf = jnp.asarray(rng.normal(size=(E, L, K)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(L * K, HC)), jnp.float32) * 0.3
+    bias = jnp.asarray(rng.normal(size=(H, C)), jnp.float32)
+    posb = b.positions
+    in_src = b.edge_src[b.in_edges]
+    out_dst = b.edge_dst[b.out_edges]
+    ji = posb[in_src] - posb[:, None, :]
+    jk = posb[out_dst] - posb[:, None, :]
+    cos_a = np.einsum("nid,nkd->nik", ji, jk)
+    cross = np.cross(ji[:, :, None, :], jk[:, None, :, :])
+    sin_a = np.sqrt(np.maximum((cross ** 2).sum(-1), 1e-24))
+    theta = np.arctan2(sin_a, cos_a)
+    norm = np.maximum(np.linalg.norm(ji, axis=-1)[:, :, None]
+                      * np.linalg.norm(jk, axis=-1)[:, None, :], 1e-12)
+    z = np.clip(cos_a / norm, -1.0, 1.0)
+    pair_mask = (b.in_mask[:, :, None] & b.out_mask[:, None, :]
+                 & (in_src[:, :, None] != out_dst[:, None, :]))
+    cbf = np.asarray(legendre_cos_harmonics(jnp.asarray(theta), L))
+    a_ids = np.where(b.in_mask, in_src, -1).astype(np.int32)
+    b_ids = np.where(b.out_mask, out_dst, -2).astype(np.int32)
+    tensors = (q, k_, v, e_atom, W, bias)
+    geom = (z, cbf, pair_mask, a_ids, b_ids, rbf)
+    ref = np.asarray(_xla_out(b, tensors, geom))
+    got = np.asarray(_pallas_out(b, tensors, geom))   # i_chunk auto (D>40)
+    em = b.edge_mask
+    np.testing.assert_allclose(got[em], ref[em], rtol=3e-4, atol=3e-5)
 
 
 def test_pallas_gradients_match_xla(make_molecule, rng):

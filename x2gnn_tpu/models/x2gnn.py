@@ -98,11 +98,6 @@ class X2GNN(nn.Module):
             use_pallas = cfg.use_pallas
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
-            if use_pallas and batch.in_edges.shape[1] > 40:
-                # the backward kernel's (D, D, HC) temporaries exceed VMEM
-                # beyond D~40; large-degree batches use the XLA blocked
-                # path (k-chunked kernel is future work)
-                use_pallas = False
             pair_mask = (batch.in_mask[:, :, None]
                          & batch.out_mask[:, None, :]
                          & (in_src[:, :, None] != out_dst[:, None, :]))

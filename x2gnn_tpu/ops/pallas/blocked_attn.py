@@ -203,20 +203,163 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     de_ref[:] = jnp.expand_dims((dk + dv_from_msg).sum(axis=1), 1)
 
 
+def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
+                       z_ref, a_ref, b_ids_ref, out_ref,
+                       *, BA, D, H, C, L, K, IC):
+    """i-chunked forward: iterate over query (in-edge) sub-blocks of size
+    IC so the (D, D, HC) temporaries of the full kernel become
+    (IC, D, HC). The softmax normalizes over the OUT axis, which stays
+    whole per chunk — numerically identical to the unchunked kernel, and
+    every slice is a static sublane-aligned slice (axis 1)."""
+    HC = H * C
+    Mind = _head_indicator(H, C)
+    bias = b_ref[0, :]
+    w_bd = w_ref[:]
+    e = jnp.expand_dims(e_ref[:, 0], 1)                  # (BA, 1, HC)
+    k = k_ref[:] + e
+    v = v_ref[:] + e
+    aid_full = a_ref[:, 0]                               # (BA, D)
+    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, D)
+    G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
+                 w_bd).reshape(BA, D, L * HC)
+    v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
+    k4 = jnp.expand_dims(k, 1)
+    for ci in range(D // IC):
+        lo = ci * IC
+        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC, axis=1)
+        z_c = jax.lax.slice_in_dim(z_ref[:], lo, lo + IC, axis=1)
+        aid = jax.lax.slice_in_dim(aid_full, lo, lo + IC, axis=1)
+        aid = jnp.expand_dims(aid, 2)                    # (BA, IC, 1)
+        valid = ((aid != bid) & (aid >= 0)
+                 & (bid >= 0)).astype(jnp.float32)       # (BA, IC, Dk)
+        validf = jnp.expand_dims(valid, -1)
+        prod = jnp.expand_dims(q_c, 2) * k4              # (BA, IC, Dk, HC)
+        scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
+        scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
+        scores = scores * validf + (1.0 - validf) * _NEG
+        smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True),
+                           _NEG / 2)
+        ex = jnp.exp(scores - smax) * validf
+        denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+        alpha_rep = _heads_bcast((ex / denom).reshape(BA * IC * D, H),
+                                 Mind).reshape(BA, IC, D, HC)
+        P = _legendre_stack(z_c, L)                      # list (BA, IC, Dk)
+        s = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
+        for l in range(L):
+            Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
+            s = s + (jnp.expand_dims(P[l], -1)
+                     * jnp.expand_dims(Gl, 1))
+        out_ref[:, lo:lo + IC, :] = (v4 * s * alpha_rep).sum(axis=2)
+
+
+def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
+                       z_ref, a_ref, b_ids_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref,
+                       *, BA, D, H, C, L, K, IC):
+    HC = H * C
+    Mind = _head_indicator(H, C)
+    bias = b_ref[0, :]
+    w_bd = w_ref[:]
+    prog = pl.program_id(0)
+
+    @pl.when(prog == 0)
+    def _():
+        db_ref[:] = jnp.zeros((1, HC), jnp.float32)
+        dw_ref[:] = jnp.zeros((L * K, L * HC), jnp.float32)
+
+    e = jnp.expand_dims(e_ref[:, 0], 1)
+    k = k_ref[:] + e
+    v = v_ref[:] + e
+    aid_full = a_ref[:, 0]
+    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)
+    rbf = rbf_ref[:].reshape(BA * D, L * K)
+    G_flat = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+    v4 = jnp.expand_dims(v, 1)
+    k4 = jnp.expand_dims(k, 1)
+    dk_acc = jnp.zeros((BA, D, HC), jnp.float32)
+    dv_acc = jnp.zeros((BA, D, HC), jnp.float32)
+    dG_acc = jnp.zeros((BA, D, L * HC), jnp.float32)
+    db_acc = jnp.zeros((HC,), jnp.float32)
+    for ci in range(D // IC):
+        lo = ci * IC
+        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC, axis=1)
+        z_c = jax.lax.slice_in_dim(z_ref[:], lo, lo + IC, axis=1)
+        g_c = jax.lax.slice_in_dim(g_ref[:], lo, lo + IC, axis=1)
+        aid = jax.lax.slice_in_dim(aid_full, lo, lo + IC, axis=1)
+        aid = jnp.expand_dims(aid, 2)
+        valid = ((aid != bid) & (aid >= 0)
+                 & (bid >= 0)).astype(jnp.float32)
+        validf = jnp.expand_dims(valid, -1)
+        prod = jnp.expand_dims(q_c, 2) * k4
+        scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
+        scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
+        scores = scores * validf + (1.0 - validf) * _NEG
+        smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True),
+                           _NEG / 2)
+        ex = jnp.exp(scores - smax) * validf
+        denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+        alpha = ex / denom                               # (BA, IC, Dk, H)
+        alpha_rep = _heads_bcast(alpha.reshape(BA * IC * D, H),
+                                 Mind).reshape(BA, IC, D, HC)
+        P = _legendre_stack(z_c, L)
+        s = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
+        for l in range(L):
+            Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
+            s = s + (jnp.expand_dims(P[l], -1)
+                     * jnp.expand_dims(Gl, 1))
+        g4 = jnp.expand_dims(g_c, 2)                     # (BA, IC, 1, HC)
+        ds = g4 * v4 * alpha_rep
+        dv_acc = dv_acc + (g4 * s * alpha_rep).sum(axis=1)
+        dalpha = _heads_sum((g4 * v4 * s).reshape(BA * IC * D, HC), Mind)
+        dalpha = dalpha.reshape(BA, IC, D, H)
+        inner = (alpha * dalpha).sum(axis=2, keepdims=True)
+        dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
+        dscores = dscores * validf
+        dsc_rep = _heads_bcast(dscores.reshape(BA * IC * D, H),
+                               Mind).reshape(BA, IC, D, HC)
+        dq_ref[:, lo:lo + IC, :] = (dsc_rep * k4).sum(axis=2)
+        dk_acc = dk_acc + (dsc_rep * jnp.expand_dims(q_c, 2)).sum(axis=1)
+        dG_parts = [(jnp.expand_dims(P[l], -1) * ds).sum(axis=1)
+                    for l in range(L)]
+        dG_acc = dG_acc + jnp.concatenate(dG_parts, axis=-1)
+        db_acc = db_acc + ds.sum(axis=(0, 1, 2))
+    dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
+        rbf, dG_acc.reshape(BA * D, L * HC),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db_ref[:] = db_ref[:] + db_acc[None, :]
+    dk_ref[:] = dk_acc
+    dv_ref[:] = dv_acc
+    de_ref[:] = jnp.expand_dims((dk_acc + dv_acc).sum(axis=1), 1)
+
+
 def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                              s_bias, z, a_ids, b_ids, heads: int,
                              num_radial: int,
                              block_atoms: int | None = None,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             i_chunk: int | None = None):
     """Fused blocked attention; differentiable in q/k/v/e_atom/w_bd/bias
-    (rbf_blk and z are geometry — their grads are zero)."""
+    (rbf_blk and z are geometry — their grads are zero).
+
+    For large degree budgets (D > 40, e.g. AID molecules at D=64), the
+    (D, D, HC) temporaries of the one-shot kernel exceed v5e's 16 MB VMEM
+    scope; the i-chunked kernels iterate over query sub-blocks of `i_chunk`
+    rows instead (identical numerics — the softmax axis stays whole)."""
     N, D, HC = q_blk.shape
     K = num_radial
     L = rbf_blk.shape[-1] // K
     H = heads
     C = HC // H
+    if i_chunk is None and D > 40:
+        i_chunk = 8
+    if i_chunk is not None:
+        assert D % i_chunk == 0, f"D={D} not a multiple of i_chunk={i_chunk}"
     if block_atoms is None:
-        per_atom = D * D * HC * 4 * 8   # ~8 live (D,D,HC) temporaries
+        if i_chunk is not None:
+            # ~8 live (IC, D, HC) chunk temporaries per atom
+            per_atom = i_chunk * D * HC * 4 * 8
+        else:
+            per_atom = D * D * HC * 4 * 8   # ~8 live (D,D,HC) temporaries
         block_atoms = 8
         while block_atoms > 1 and block_atoms * per_atom > 10 * 2 ** 20:
             block_atoms //= 2
@@ -249,8 +392,12 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     )
 
     def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
-        kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C, L=L,
-                                 K=K)
+        if i_chunk is not None:
+            kern = functools.partial(_fwd_kernel_ichunk, BA=BA, D=D, H=H,
+                                     C=C, L=L, K=K, IC=i_chunk)
+        else:
+            kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C,
+                                     L=L, K=K)
         return pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -273,8 +420,12 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
 
     def bwd(res, g):
         q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias = res
-        kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C, L=L,
-                                 K=K)
+        if i_chunk is not None:
+            kern = functools.partial(_bwd_kernel_ichunk, BA=BA, D=D, H=H,
+                                     C=C, L=L, K=K, IC=i_chunk)
+        else:
+            kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C,
+                                     L=L, K=K)
         dq, dk, dv, de, dw, db = pl.pallas_call(
             kern,
             grid=(n_blocks,),
