@@ -126,25 +126,36 @@ def main():
     rbf = jnp.asarray(rng.normal(size=(E, L * K_rad)), f32)
     W_sbf = jnp.asarray(rng.normal(size=(L * K_rad, H * C)), f32) * 0.3
 
-    from x2gnn_tpu.ops.attention import blocked_to_edges, injective_gather
+    from x2gnn_tpu.ops.attention import injective_gather
     edge_outpos = jnp.asarray(batch.edge_outpos)
-    in_mask_j = jnp.asarray(batch.in_mask)
-    edge_mask_j = jnp.asarray(batch.edge_mask)
+    in_mask_flat = jnp.asarray(batch.in_mask.reshape(-1))
+    # in-layout pipeline (as the model executes it): activations live in
+    # the in-table layout; only K/V need the in->out re-index per layer.
+    out2in = jnp.asarray(batch.edge_inpos[batch.out_edges])
+    safe_inpos = np.where(batch.edge_mask, batch.edge_inpos, N * D)
+    in2out_np = np.zeros(N * D, np.int32)
+    in2out_np[safe_inpos[batch.edge_mask]] = batch.edge_outpos[
+        batch.edge_mask]
+    in2out_flat = jnp.asarray(in2out_np)
+    # per-edge inputs in the in-layout (the model keeps them there)
+    q_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
+    k_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
+    v_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
+    rbf_in = jnp.asarray(rng.normal(size=(N * D, L * K_rad)), f32)
+    rbf_out = injective_gather(rbf_in, out2in, in2out_flat, in_mask_flat)
 
-    def pal_loss(q, k, v):
-        qf = q.reshape(E, H * C)
-        kf = k.reshape(E, H * C)
-        vf = v.reshape(E, H * C)
+    def pal_loss(q_in, k_in, v_in):
         w_bd = expand_block_diagonal(W_sbf, L, K_rad, H * C)
-        out_blk = pallas_blocked_attention(
-            injective_gather(qf, in_edges, edge_inpos, edge_mask_j),
-            injective_gather(kf, out_edges, edge_outpos, edge_mask_j),
-            injective_gather(vf, out_edges, edge_outpos, edge_mask_j),
+        k_out = injective_gather(k_in.reshape(N * D, H * C), out2in,
+                                 in2out_flat, in_mask_flat)
+        v_out = injective_gather(v_in.reshape(N * D, H * C), out2in,
+                                 in2out_flat, in_mask_flat)
+        out = pallas_blocked_attention(
+            q_in, k_out, v_out,
             e_atom.reshape(N, H * C),
-            rbf[out_edges], w_bd,
+            rbf_out, w_bd,
             s_bias.reshape(1, H * C), z, in_src_j, out_dst_j,
             heads=H, num_radial=K_rad)
-        out = blocked_to_edges(out_blk, edge_inpos, in_edges, in_mask_j)
         return (out ** 2).sum()
 
     seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))
@@ -161,7 +172,7 @@ def main():
     log(f"blocked (atom-dense) fwd+bwd: {t_blk * 1e3:.3f} ms "
         f"-> {real_T / t_blk / 1e6:.1f} M triplets/s")
     pal_step = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2)))
-    t_pal = time_fn(pal_step, q, k, v)
+    t_pal = time_fn(pal_step, q_in, k_in, v_in)
     log(f"blocked (pallas fused) fwd+bwd: {t_pal * 1e3:.3f} ms "
         f"-> {real_T / t_pal / 1e6:.1f} M triplets/s")
 

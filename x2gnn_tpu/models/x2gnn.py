@@ -49,22 +49,42 @@ class X2GNN(nn.Module):
         num_graphs = batch.y.shape[0]
 
         pos = batch.positions
-        edge_mask = batch.edge_mask
-        trip_mask = batch.trip_mask
+        blocked = cfg.attention_layout == "blocked"
 
         # ---- geometry (xgnn.py:39,61-64) ----
-        diff = pos[batch.edge_src] - pos[batch.edge_dst]
-        d = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-24))
+        # blocked layout: per-edge quantities live in the in-table layout
+        # (N, D, ...) end to end (each edge = exactly one in-slot); other
+        # layouts use the flat (E, ...) edge layout.
+        if blocked:
+            from x2gnn_tpu.ops.attention import injective_gather
+            N_, D = batch.in_edges.shape
+            edge_mask = batch.in_mask                        # (N, D)
+            in_src = batch.edge_src[batch.in_edges]          # (N, D)
+            ji = pos[in_src] - pos[:, None, :]               # (N, D, 3)
+            d = jnp.sqrt(jnp.maximum((ji * ji).sum(-1), 1e-24))
+            edge_feat = injective_gather(batch.edge_feat, batch.in_edges,
+                                         batch.edge_inpos, batch.edge_mask)
+            # flat-slot views for segment ops (norm, readouts)
+            src_flat = in_src.reshape(-1)
+            gid_flat = batch.edge_gid[batch.in_edges].reshape(-1)
+            mask_flat = edge_mask.reshape(-1)
+        else:
+            edge_mask = batch.edge_mask
+            diff = pos[batch.edge_src] - pos[batch.edge_dst]
+            d = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 1e-24))
+            edge_feat = batch.edge_feat
+            src_flat = batch.edge_src
+            gid_flat = batch.edge_gid
+            mask_flat = edge_mask
+        trip_mask = batch.trip_mask
         # padded edges have d == 0; clamp away from the envelope's 1/x pole
         d_safe = jnp.where(edge_mask, d, 1.0)
 
         env = poly_envelope(d_safe, cfg.cutoff, cfg.envelope_exponent)
-        env = jnp.where(edge_mask, env, 0.0)[:, None]       # (E, 1)
-
-        blocked = cfg.attention_layout == "blocked"
+        env = jnp.where(edge_mask, env, 0.0)[..., None]
 
         # ---- featurization (xgnn.py:54-70) ----
-        neo_x = batch.edge_feat * env
+        neo_x = edge_feat * env
         neo_x = jax.nn.silu(Dense(2 * cfg.embedding_size,
                                   name="mat_trans")(neo_x))
         neo_x = jax.nn.silu(Dense(cfg.in_channels, name="emb_trans")(neo_x))
@@ -74,7 +94,7 @@ class X2GNN(nn.Module):
 
         node_rbf = RadialBasisLayer(cfg.rbf_dim, cfg.cutoff,
                                     name="rbf_layer")(d_safe)
-        node_rbf = node_rbf * env                            # (E, K)
+        node_rbf = node_rbf * env                # (E, K) or (N, D, K)
 
         def edgenn(h, tag: str = "", width: Optional[int] = None):
             width = width or cfg.embedding_size
@@ -86,13 +106,24 @@ class X2GNN(nn.Module):
             # per-triplet edge_attr is a pure function of the media atom
             # (xgnn.py:57-58) -> run the edgenn MLP once per atom
             edge_attr = None if v2 else edgenn(atom_emb)     # (N, emb)
+            LK = cfg.sbf_dim * cfg.rbf_dim
             rbf_env = sbf_radial_part(
-                d_safe, cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
-                cfg.envelope_exponent, edge_mask)            # (E, L, K)
+                d_safe.reshape(-1), cfg.sbf_dim, cfg.rbf_dim, cfg.cutoff,
+                cfg.envelope_exponent, mask_flat)            # (N*D, L, K)
+            # in->out re-index tables: out2in[n, s] = flat in-slot of atom
+            # n's s-th OUT-edge; in2out_flat is the inverse (per in-slot).
+            # Real edges only (mode='drop' ignores pad scatter indices).
+            out2in = batch.edge_inpos[batch.out_edges]       # (N, D)
+            safe_inpos = jnp.where(batch.edge_mask, batch.edge_inpos,
+                                   N_ * D)
+            in2out_flat = jnp.zeros(N_ * D, jnp.int32).at[safe_inpos].set(
+                batch.edge_outpos, mode="drop")
+            # loop-invariant: the radial sbf factor of each out-slot's edge
+            rbf_env_out = injective_gather(
+                rbf_env.reshape(N_ * D, LK), out2in, in2out_flat,
+                mask_flat)                                   # (N, D, L*K)
             # per-atom pair geometry: angles between in- and out-edges
-            in_src = batch.edge_src[batch.in_edges]          # (N, D)
             out_dst = batch.edge_dst[batch.out_edges]        # (N, D)
-            ji = pos[in_src] - pos[:, None, :]               # (N, D, 3)
             jk = pos[out_dst] - pos[:, None, :]
             cos_a = jnp.einsum("nid,nkd->nik", ji, jk)
             use_pallas = cfg.use_pallas
@@ -145,23 +176,27 @@ class X2GNN(nn.Module):
             return MolWiseReadout(cfg.in_channels, mlp_depth=cfg.mlp_depth,
                                   pool=pool, name=f"readout_{i}")
 
+        # flat per-edge rows for segment ops: (E,) arrays in flat layouts,
+        # (N*D,) flat in-slots in the blocked layout
+        node_rbf_flat = node_rbf.reshape(-1, cfg.rbf_dim)
+
         def run_readout(i: int, x):
             if cfg.readout == "atomwise":
-                return readout(i)(x, node_rbf, batch.edge_src, num_atoms,
-                                  edge_mask=edge_mask)
-            return readout(i)(x, node_rbf, batch.edge_src, batch.atom_gid,
-                              num_atoms, num_graphs, edge_mask=edge_mask,
+                return readout(i)(x, node_rbf_flat, src_flat, num_atoms,
+                                  edge_mask=mask_flat)
+            return readout(i)(x, node_rbf_flat, src_flat, batch.atom_gid,
+                              num_atoms, num_graphs, edge_mask=mask_flat,
                               node_mask=batch.node_mask)
 
-        out = neo_x
+        out = neo_x.reshape(-1, cfg.in_channels)
         results = run_readout(0, out)
         for i in range(cfg.conv_layers):
             res0 = out
             if v2:
                 # V2 (model.py:136-140): per-layer edge_attr from the
                 # aggregated atom representations of the media atom
-                atoms_rep = segment_sum(out, batch.edge_src, num_atoms,
-                                        mask=edge_mask)
+                atoms_rep = segment_sum(out, src_flat, num_atoms,
+                                        mask=mask_flat)
                 h = edgenn(atoms_rep, tag=f"_{i}", width=cfg.in_channels)
                 edge_attr = h if blocked else h[batch.trip_j]
             if blocked:
@@ -170,12 +205,11 @@ class X2GNN(nn.Module):
                     sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
                     use_pallas=use_pallas,
                     name=f"conv_{i}")(
-                        out, node_rbf, rbf_env, cbf, edge_attr,
-                        batch.in_edges, batch.out_edges, pair_mask,
-                        batch.edge_inpos,
-                        z=z_cos, a_ids=a_ids, b_ids=b_ids,
-                        edge_outpos=batch.edge_outpos,
-                        in_mask=batch.in_mask, edge_mask=edge_mask)
+                        out.reshape(N_, D, cfg.in_channels),
+                        node_rbf, rbf_env_out, cbf, edge_attr,
+                        out2in, in2out_flat, batch.in_mask, pair_mask,
+                        z=z_cos, a_ids=a_ids, b_ids=b_ids)
+                out = out.reshape(-1, cfg.in_channels)
             else:
                 conv_dtype = (jnp.bfloat16
                               if cfg.compute_dtype == "bfloat16" else None)
@@ -191,7 +225,7 @@ class X2GNN(nn.Module):
                         deterministic=deterministic)
                 out = out.astype(jnp.float32)
             out = GraphLayerNorm(name=f"norm_{i}")(
-                out, batch.edge_gid, num_graphs, mask=edge_mask)
+                out, gid_flat, num_graphs, mask=mask_flat)
             out = ResidualLayer(cfg.in_channels, name=f"bf_skip_{i}")(out)
             out = jax.nn.silu(
                 Dense(cfg.in_channels, name=f"dense_bf_skip_{i}")(out))

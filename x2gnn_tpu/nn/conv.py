@@ -140,8 +140,17 @@ class EdgeAttentionConv(nn.Module):
 
 class BlockedEdgeAttentionConv(nn.Module):
     """Atom-blocked layout of EdgeAttentionConv (see
-    ops.attention.blocked_attention). Identical math and an identical
+    ops.attention.blocked_attention_core). Identical math and an identical
     parameter tree (init with one layout, apply with any other).
+
+    IN-LAYOUT calling convention: every per-edge activation lives in the
+    in-table blocked layout (N, D, C) — row j holds atom j's incoming
+    edges — end to end. Each edge occupies exactly one in-slot, so this IS
+    a (padded) per-edge layout; keeping it across the whole layer stack
+    means the only irregular ops per layer are the two K/V in->out
+    re-index gathers (scatter-free via `injective_gather`). Q, the
+    attention output, the skip path, norms, residuals and readout inputs
+    need no gather at all.
 
     use_pallas: None = auto (fused Pallas kernel on TPU, XLA elsewhere)."""
 
@@ -152,79 +161,68 @@ class BlockedEdgeAttentionConv(nn.Module):
     use_pallas: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, rbf, rbf_env, cbf, atom_edge_attr,
-                 in_edges, out_edges, pair_mask, edge_inpos,
-                 z=None, a_ids=None, b_ids=None,
-                 edge_outpos=None, in_mask=None, edge_mask=None):
-        """x: (E, C); rbf: (E, K); rbf_env: (E, L, K) radial sbf factor;
-        cbf: (N, D, D, L) angular factor; atom_edge_attr: (N, emb);
-        z/a_ids/b_ids: cos(angle) + masked atom-id tables for the Pallas
-        kernel (only needed when it is enabled)."""
-        num_edges = x.shape[0]
+    def __call__(self, x_blk, rbf_blk, rbf_env_out, cbf, atom_edge_attr,
+                 out2in, in2out_flat, in_mask, pair_mask,
+                 z=None, a_ids=None, b_ids=None):
+        """x_blk: (N, D, C) in-layout line-graph node features;
+        rbf_blk: (N, D, K) radial basis (in-layout); rbf_env_out:
+        (N, D, L*K) radial sbf factor of the OUT-table rows (hoisted out
+        of the layer loop — loop-invariant); cbf: (N, D, D, L) angular
+        factor (XLA path); atom_edge_attr: (N, emb); out2in: (N, D) flat
+        in-slot of each out-slot's edge; in2out_flat: (N*D,) inverse;
+        in_mask: (N, D); z/a_ids/b_ids: cos(angle) + masked atom-id
+        tables (Pallas path computes the harmonics in-kernel)."""
+        N, D = in_mask.shape
         H = self.heads
         C = self.channels // H
         L, K = self.sbf_l, self.sbf_k
+        in_mask_flat = in_mask.reshape(-1)
 
         rbf_filter = nn.Dense(
             self.channels, use_bias=False,
-            kernel_init=glorot_orthogonal(), name="lin_rbf")(rbf)
-        x_src = x * rbf_filter
-        x_dst = x
+            kernel_init=glorot_orthogonal(), name="lin_rbf")(rbf_blk)
+        x_src = x_blk * rbf_filter
+        x_dst = x_blk
 
         q = TorchDense(self.channels, name="lin_query")(x_dst)
-        k = TorchDense(self.channels, name="lin_key")(x_src)
-        v = TorchDense(self.channels, name="lin_value")(x_src)
+        k_in = TorchDense(self.channels, name="lin_key")(x_src)
+        v_in = TorchDense(self.channels, name="lin_value")(x_src)
         e_atom = TorchDense(self.channels, use_bias=False,
                             name="lin_edge")(atom_edge_attr)
         w_sbf, b_sbf = _LinearParams(L * K, self.channels,
                                      name="lin_sbf")()
+
+        from x2gnn_tpu.ops.attention import injective_gather
+        k_out = injective_gather(k_in.reshape(N * D, self.channels),
+                                 out2in, in2out_flat, in_mask_flat)
+        v_out = injective_gather(v_in.reshape(N * D, self.channels),
+                                 out2in, in2out_flat, in_mask_flat)
+
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             assert z is not None and a_ids is not None
-            from x2gnn_tpu.ops.attention import (
-                blocked_to_edges, injective_gather)
             from x2gnn_tpu.ops.pallas import (
                 expand_block_diagonal, pallas_blocked_attention)
-            N, D = in_edges.shape
             w_bd = expand_block_diagonal(w_sbf, L, K, self.channels)
-            # injective gathers: each edge occupies exactly one slot of
-            # each table, so every backward here is a gather, not a
-            # scatter-add (edge_inpos/edge_outpos are the inverses)
-            if edge_outpos is not None:
-                q_blk = injective_gather(q, in_edges, edge_inpos,
-                                         edge_mask)
-                k_blk = injective_gather(k, out_edges, edge_outpos,
-                                         edge_mask)
-                v_blk = injective_gather(v, out_edges, edge_outpos,
-                                         edge_mask)
-            else:  # fallback for callers without inverse tables
-                q_blk = q[in_edges]
-                k_blk = k[out_edges]
-                v_blk = v[out_edges]
-            rbf_blk = rbf_env.reshape(num_edges, L * K)[out_edges]
-            out_blk = pallas_blocked_attention(
-                q_blk, k_blk, v_blk, e_atom,
-                rbf_blk, w_bd, b_sbf.reshape(1, self.channels),
-                z, a_ids, b_ids, heads=H, num_radial=K)
-            if edge_outpos is not None and in_mask is not None:
-                out = blocked_to_edges(out_blk, edge_inpos, in_edges,
-                                       in_mask)
-            else:
-                out = out_blk.reshape(N * D, self.channels)[edge_inpos]
+            out = pallas_blocked_attention(
+                q, k_out, v_out,
+                e_atom.reshape(N, self.channels),
+                rbf_env_out, w_bd, b_sbf.reshape(1, self.channels),
+                z, a_ids, b_ids, heads=H, num_radial=K)  # (N, D, HC)
         else:
-            # factored sbf projection: G[e,l,hc] = sum_n W[l,n] rbf_env
-            G = jnp.einsum("elk,lkf->elf", rbf_env,
+            from x2gnn_tpu.ops.attention import blocked_attention_core
+            G = jnp.einsum("nelk,lkf->nelf",
+                           rbf_env_out.reshape(N, D, L, K),
                            w_sbf.reshape(L, K, self.channels))
-            out = blocked_attention(
-                q.reshape(num_edges, H, C),
-                k.reshape(num_edges, H, C),
-                v.reshape(num_edges, H, C),
-                e_atom.reshape(-1, H, C),
-                G.reshape(num_edges, L, H, C),
+            out = blocked_attention_core(
+                q.reshape(N, D, H, C),
+                k_out.reshape(N, D, H, C),
+                v_out.reshape(N, D, H, C),
+                e_atom.reshape(N, H, C),
+                G.reshape(N, D, L, H, C),
                 b_sbf.reshape(H, C),
-                cbf, in_edges, out_edges, pair_mask, edge_inpos)
-            out = out.reshape(num_edges, H * C)
+                cbf, pair_mask).reshape(N, D, self.channels)
         out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
         return out

@@ -90,6 +90,31 @@ def segment_attention(q, k, v, e, s, trip_src, trip_dst, trip_mask,
     return segment_sum(msg, trip_dst, num_edges, mask=trip_mask)
 
 
+def blocked_attention_core(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias, cbf,
+                           pair_mask):
+    """Attention math on pre-blocked tables (all inputs already in the
+    atom-blocked layout). q_blk: (N, D, H, C) in-table rows; k_blk/v_blk/
+    G_blk: (N, D, H, C) / (N, D, L, H, C) out-table rows; e_atom:
+    (N, H, C); cbf: (N, D, D, L); pair_mask: (N, Di, Dk). Returns
+    (N, D, H, C) in the in-table layout."""
+    C = q_blk.shape[-1]
+    L = cbf.shape[-1]
+    k_blk = k_blk + e_atom[:, None]
+    v_blk = v_blk + e_atom[:, None]
+    scores = jnp.einsum("nihc,nkhc->nikh", q_blk, k_blk) / jnp.sqrt(float(C))
+    scores = jnp.where(pair_mask[..., None], scores, _NEG)
+    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
+    ex = jnp.exp(scores - smax)
+    ex = jnp.where(pair_mask[..., None], ex, 0.0)
+    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+    alpha = ex / denom                                   # (N, Di, Do, H)
+    out = jnp.einsum("nikh,nkhc->nihc", alpha, v_blk) * s_bias
+    for l in range(L):
+        wl = alpha * cbf[..., l][..., None]              # (N, Di, Do, H)
+        out = out + jnp.einsum("nikh,nkhc->nihc", wl, v_blk * G_blk[:, :, l])
+    return out
+
+
 def blocked_attention(q, k, v, e_atom, G, s_bias, cbf,
                       in_edges, out_edges, pair_mask, edge_inpos):
     """Atom-blocked dense attention — the fastest layout.
@@ -115,24 +140,9 @@ def blocked_attention(q, k, v, e_atom, G, s_bias, cbf,
     """
     N, D = in_edges.shape
     H, C = q.shape[1], q.shape[2]
-    L = cbf.shape[-1]
-    q_blk = q[in_edges]                                  # (N, D, H, C)
-    k_blk = k[out_edges] + e_atom[:, None]               # (N, D, H, C)
-    v_blk = v[out_edges] + e_atom[:, None]
-    scores = jnp.einsum("nihc,nkhc->nikh", q_blk, k_blk) / jnp.sqrt(float(C))
-    scores = jnp.where(pair_mask[..., None], scores, _NEG)
-    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
-    ex = jnp.exp(scores - smax)
-    ex = jnp.where(pair_mask[..., None], ex, 0.0)
-    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-    alpha = ex / denom                                   # (N, Di, Do, H)
-
-    G_blk = G[out_edges]                                 # (N, D, L, H, C)
-    out = jnp.einsum("nikh,nkhc->nihc", alpha, v_blk) * s_bias
-    for l in range(L):
-        wl = alpha * cbf[..., l][..., None]              # (N, Di, Do, H)
-        out = out + jnp.einsum("nikh,nkhc->nihc", wl,
-                               v_blk * G_blk[:, :, l])
+    out = blocked_attention_core(q[in_edges], k[out_edges], v[out_edges],
+                                 e_atom, G[out_edges], s_bias, cbf,
+                                 pair_mask)
     return out.reshape(N * D, H, C)[edge_inpos]
 
 
