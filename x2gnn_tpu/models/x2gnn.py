@@ -188,6 +188,8 @@ class X2GNN(nn.Module):
                               num_atoms, num_graphs, edge_mask=mask_flat,
                               node_mask=batch.node_mask)
 
+        conv_dtype = (jnp.bfloat16
+                      if cfg.compute_dtype == "bfloat16" else None)
         out = neo_x.reshape(-1, cfg.in_channels)
         results = run_readout(0, out)
         for i in range(cfg.conv_layers):
@@ -203,16 +205,14 @@ class X2GNN(nn.Module):
                 out = BlockedEdgeAttentionConv(
                     cfg.in_channels, cfg.heads,
                     sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, dtype=conv_dtype,
                     name=f"conv_{i}")(
                         out.reshape(N_, D, cfg.in_channels),
                         node_rbf, rbf_env_out, cbf, edge_attr,
                         out2in, in2out_flat, batch.in_mask, pair_mask,
                         z=z_cos, a_ids=a_ids, b_ids=b_ids)
-                out = out.reshape(-1, cfg.in_channels)
+                out = out.reshape(-1, cfg.in_channels).astype(jnp.float32)
             else:
-                conv_dtype = (jnp.bfloat16
-                              if cfg.compute_dtype == "bfloat16" else None)
                 out = EdgeAttentionConv(
                     cfg.in_channels, cfg.heads, cfg.dropout,
                     layout=cfg.attention_layout, dtype=conv_dtype,

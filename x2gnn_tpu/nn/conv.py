@@ -46,9 +46,10 @@ class _LinearParams(nn.Module):
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", glorot_orthogonal(),
-                            (self.features_in, self.features_out))
+                            (self.features_in, self.features_out),
+                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
-                          (self.features_out,))
+                          (self.features_out,), jnp.float32)
         return kernel, bias
 
 
@@ -159,6 +160,10 @@ class BlockedEdgeAttentionConv(nn.Module):
     sbf_l: int = 7     # num_spherical
     sbf_k: int = 6     # num_radial
     use_pallas: Optional[bool] = None
+    # bfloat16 halves the K/V re-index gather traffic and the projection
+    # FLOPs; params stay f32 and all attention math runs f32 (the Pallas
+    # kernel widens at load; the XLA path casts before the core)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x_blk, rbf_blk, rbf_env_out, cbf, atom_edge_attr,
@@ -179,15 +184,18 @@ class BlockedEdgeAttentionConv(nn.Module):
         in_mask_flat = in_mask.reshape(-1)
 
         rbf_filter = nn.Dense(
-            self.channels, use_bias=False,
+            self.channels, use_bias=False, dtype=self.dtype,
             kernel_init=glorot_orthogonal(), name="lin_rbf")(rbf_blk)
         x_src = x_blk * rbf_filter
         x_dst = x_blk
 
-        q = TorchDense(self.channels, name="lin_query")(x_dst)
-        k_in = TorchDense(self.channels, name="lin_key")(x_src)
-        v_in = TorchDense(self.channels, name="lin_value")(x_src)
-        e_atom = TorchDense(self.channels, use_bias=False,
+        q = TorchDense(self.channels, dtype=self.dtype,
+                       name="lin_query")(x_dst)
+        k_in = TorchDense(self.channels, dtype=self.dtype,
+                          name="lin_key")(x_src)
+        v_in = TorchDense(self.channels, dtype=self.dtype,
+                          name="lin_value")(x_src)
+        e_atom = TorchDense(self.channels, use_bias=False, dtype=self.dtype,
                             name="lin_edge")(atom_edge_attr)
         w_sbf, b_sbf = _LinearParams(L * K, self.channels,
                                      name="lin_sbf")()
@@ -216,11 +224,12 @@ class BlockedEdgeAttentionConv(nn.Module):
             G = jnp.einsum("nelk,lkf->nelf",
                            rbf_env_out.reshape(N, D, L, K),
                            w_sbf.reshape(L, K, self.channels))
+            f32 = jnp.float32
             out = blocked_attention_core(
-                q.reshape(N, D, H, C),
-                k_out.reshape(N, D, H, C),
-                v_out.reshape(N, D, H, C),
-                e_atom.reshape(N, H, C),
+                q.reshape(N, D, H, C).astype(f32),
+                k_out.reshape(N, D, H, C).astype(f32),
+                v_out.reshape(N, D, H, C).astype(f32),
+                e_atom.reshape(N, H, C).astype(f32),
                 G.reshape(N, D, L, H, C),
                 b_sbf.reshape(H, C),
                 cbf, pair_mask).reshape(N, D, self.channels)

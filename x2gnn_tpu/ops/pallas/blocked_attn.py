@@ -125,10 +125,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
     w_bd = w_ref[:]                                      # (LK, L*HC)
-    q = q_ref[:]
-    e = jnp.expand_dims(e_ref[:, 0], 1)                  # (BA, 1, HC)
-    k = k_ref[:] + e
-    v = v_ref[:] + e
+    # bf16 storage is converted to f32 at load; all math stays f32
+    q = q_ref[:].astype(jnp.float32)
+    e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)  # (BA, 1, HC)
+    k = k_ref[:].astype(jnp.float32) + e
+    v = v_ref[:].astype(jnp.float32) + e
     z = z_ref[:]
     aid = jnp.expand_dims(a_ref[:, 0], 2)                # (BA, D, 1)
     bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, D)
@@ -156,10 +157,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
         db_ref[:] = jnp.zeros((1, HC), jnp.float32)
         dw_ref[:] = jnp.zeros((L * K, L * HC), jnp.float32)
 
-    q = q_ref[:]
-    e = jnp.expand_dims(e_ref[:, 0], 1)
-    k = k_ref[:] + e
-    v = v_ref[:] + e
+    q = q_ref[:].astype(jnp.float32)
+    e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)
+    k = k_ref[:].astype(jnp.float32) + e
+    v = v_ref[:].astype(jnp.float32) + e
     z = z_ref[:]
     aid = jnp.expand_dims(a_ref[:, 0], 2)
     bid = jnp.expand_dims(b_ids_ref[:, 0], 1)
@@ -215,9 +216,9 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
     w_bd = w_ref[:]
-    e = jnp.expand_dims(e_ref[:, 0], 1)                  # (BA, 1, HC)
-    k = k_ref[:] + e
-    v = v_ref[:] + e
+    e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)  # (BA, 1, HC)
+    k = k_ref[:].astype(jnp.float32) + e
+    v = v_ref[:].astype(jnp.float32) + e
     aid_full = a_ref[:, 0]                               # (BA, D)
     bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, D)
     G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
@@ -226,7 +227,8 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     k4 = jnp.expand_dims(k, 1)
     for ci in range(D // IC):
         lo = ci * IC
-        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC, axis=1)
+        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC,
+                                   axis=1).astype(jnp.float32)
         z_c = jax.lax.slice_in_dim(z_ref[:], lo, lo + IC, axis=1)
         aid = jax.lax.slice_in_dim(aid_full, lo, lo + IC, axis=1)
         aid = jnp.expand_dims(aid, 2)                    # (BA, IC, 1)
@@ -267,9 +269,9 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
         db_ref[:] = jnp.zeros((1, HC), jnp.float32)
         dw_ref[:] = jnp.zeros((L * K, L * HC), jnp.float32)
 
-    e = jnp.expand_dims(e_ref[:, 0], 1)
-    k = k_ref[:] + e
-    v = v_ref[:] + e
+    e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)
+    k = k_ref[:].astype(jnp.float32) + e
+    v = v_ref[:].astype(jnp.float32) + e
     aid_full = a_ref[:, 0]
     bid = jnp.expand_dims(b_ids_ref[:, 0], 1)
     rbf = rbf_ref[:].reshape(BA * D, L * K)
@@ -282,7 +284,8 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     db_acc = jnp.zeros((HC,), jnp.float32)
     for ci in range(D // IC):
         lo = ci * IC
-        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC, axis=1)
+        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC,
+                                   axis=1).astype(jnp.float32)
         z_c = jax.lax.slice_in_dim(z_ref[:], lo, lo + IC, axis=1)
         g_c = jax.lax.slice_in_dim(g_ref[:], lo, lo + IC, axis=1)
         aid = jax.lax.slice_in_dim(aid_full, lo, lo + IC, axis=1)
@@ -445,7 +448,10 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
             interpret=interp,
         )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
           a_ids3, b_ids3, g)
-        return dq, dk, dv, de, dw, db
+        # bf16 primals require bf16 cotangents (kernel math stays f32)
+        return (dq.astype(q_blk.dtype), dk.astype(k_blk.dtype),
+                dv.astype(v_blk.dtype), de.astype(e_atom3.dtype),
+                dw.astype(w_bd.dtype), db.astype(s_bias.dtype))
 
     run.defvjp(fwd, bwd)
     out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
