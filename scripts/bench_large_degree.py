@@ -8,10 +8,14 @@ Shape check only (CPU): PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -53,9 +57,7 @@ def main():
     k = jnp.asarray(rng.normal(size=(E, H, C)), f32)
     v = jnp.asarray(rng.normal(size=(E, H, C)), f32)
     e_atom = jnp.asarray(rng.normal(size=(N, H, C)), f32)
-    G = jnp.asarray(rng.normal(size=(E, L, H, C)), f32)
     s_bias = jnp.asarray(rng.normal(size=(H, C)), f32)
-    cbf = jnp.asarray(rng.normal(size=(N, D, D, L)), f32)
     in_edges = jnp.asarray(batch.in_edges)
     out_edges = jnp.asarray(batch.out_edges)
     in_src = batch.edge_src[batch.in_edges]
@@ -74,6 +76,12 @@ def main():
     z = jnp.asarray(rng.uniform(-1, 1, size=(N, D, D)), f32)
     rbf = jnp.asarray(rng.normal(size=(E, L * K_rad)), f32)
     W_sbf = jnp.asarray(rng.normal(size=(L * K_rad, H * C)), f32) * 0.3
+    # same basis both paths: the fused kernel computes legendre(z) and
+    # contracts rbf x W in-kernel; give the XLA path the identical G/cbf
+    from x2gnn_tpu.ops.basis import legendre_cos_harmonics
+    cbf = legendre_cos_harmonics(jnp.arccos(jnp.clip(z, -1, 1)), L)
+    G = jnp.einsum("elk,lkf->elf", rbf.reshape(E, L, K_rad),
+                   W_sbf.reshape(L, K_rad, H * C)).reshape(E, L, H, C)
 
     em = jnp.asarray(batch.edge_mask)
 

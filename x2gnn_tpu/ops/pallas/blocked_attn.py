@@ -205,134 +205,120 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
 
 
 def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, a_ref, b_ids_ref, out_ref,
-                       *, BA, D, H, C, L, K, IC):
-    """i-chunked forward: iterate over query (in-edge) sub-blocks of size
-    IC so the (D, D, HC) temporaries of the full kernel become
-    (IC, D, HC). The softmax normalizes over the OUT axis, which stays
-    whole per chunk — numerically identical to the unchunked kernel, and
-    every slice is a static sublane-aligned slice (axis 1)."""
+                       z_ref, valid_ref, out_ref, *, BA, D, H, C, L, K, IC):
+    """Grid-chunked forward: the query (in-edge) axis is tiled by the
+    SECOND grid dimension, so each step works on (BA, IC, D, HC)
+    temporaries with purely static tiles — no in-kernel dynamic slicing
+    (Mosaic mis-lowers dynamic sublane slices) and no unrolled stack
+    growth (which scope-OOMs VMEM at D >= 48). The softmax axis
+    (out-edges) stays whole per tile, so the math is identical to the
+    one-shot kernel. k/v/e/rbf blocks are indexed by the atom-block grid
+    dim only and stay VMEM-resident across the chunk sweep."""
     HC = H * C
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
     w_bd = w_ref[:]
     e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)  # (BA, 1, HC)
-    k = k_ref[:].astype(jnp.float32) + e
+    k = k_ref[:].astype(jnp.float32) + e                 # (BA, Dk, HC)
     v = v_ref[:].astype(jnp.float32) + e
-    aid_full = a_ref[:, 0]                               # (BA, D)
-    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, D)
+    q_c = q_ref[:].astype(jnp.float32)                   # (BA, IC, HC)
+    z_c = z_ref[:]                                       # (BA, IC, Dk)
+    validf = jnp.expand_dims(valid_ref[:], -1)           # (BA, IC, Dk, 1)
     G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
                  w_bd).reshape(BA, D, L * HC)
     v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
     k4 = jnp.expand_dims(k, 1)
-    for ci in range(D // IC):
-        lo = ci * IC
-        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC,
-                                   axis=1).astype(jnp.float32)
-        z_c = jax.lax.slice_in_dim(z_ref[:], lo, lo + IC, axis=1)
-        aid = jax.lax.slice_in_dim(aid_full, lo, lo + IC, axis=1)
-        aid = jnp.expand_dims(aid, 2)                    # (BA, IC, 1)
-        valid = ((aid != bid) & (aid >= 0)
-                 & (bid >= 0)).astype(jnp.float32)       # (BA, IC, Dk)
-        validf = jnp.expand_dims(valid, -1)
-        prod = jnp.expand_dims(q_c, 2) * k4              # (BA, IC, Dk, HC)
-        scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
-        scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
-        scores = scores * validf + (1.0 - validf) * _NEG
-        smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True),
-                           _NEG / 2)
-        ex = jnp.exp(scores - smax) * validf
-        denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-        alpha_rep = _heads_bcast((ex / denom).reshape(BA * IC * D, H),
-                                 Mind).reshape(BA, IC, D, HC)
-        P = _legendre_stack(z_c, L)                      # list (BA, IC, Dk)
-        s = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
-        for l in range(L):
-            Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
-            s = s + (jnp.expand_dims(P[l], -1)
-                     * jnp.expand_dims(Gl, 1))
-        out_ref[:, lo:lo + IC, :] = (v4 * s * alpha_rep).sum(axis=2)
+    prod = jnp.expand_dims(q_c, 2) * k4                  # (BA, IC, Dk, HC)
+    scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
+    scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
+    scores = scores * validf + (1.0 - validf) * _NEG
+    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
+    ex = jnp.exp(scores - smax) * validf
+    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+    alpha_rep = _heads_bcast((ex / denom).reshape(BA * IC * D, H),
+                             Mind).reshape(BA, IC, D, HC)
+    P = _legendre_stack(z_c, L)                          # list (BA, IC, Dk)
+    sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
+    for l in range(L):
+        Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
+        sm = sm + jnp.expand_dims(P[l], -1) * jnp.expand_dims(Gl, 1)
+    out_ref[:] = (v4 * sm * alpha_rep).sum(axis=2)
 
 
 def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, a_ref, b_ids_ref, g_ref,
+                       z_ref, valid_ref, g_ref,
                        dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref,
                        *, BA, D, H, C, L, K, IC):
+    """Grid-chunked backward. dq is tiled like q; dk/dv/de accumulate
+    across the chunk sweep into atom-block-indexed output blocks (zeroed
+    at chunk 0), dw/db accumulate across the whole grid (zeroed at
+    step (0, 0)) — the standard revisited-output accumulation pattern."""
     HC = H * C
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
     w_bd = w_ref[:]
-    prog = pl.program_id(0)
+    pi = pl.program_id(0)
+    pj = pl.program_id(1)
 
-    @pl.when(prog == 0)
+    @pl.when((pi == 0) & (pj == 0))
     def _():
         db_ref[:] = jnp.zeros((1, HC), jnp.float32)
         dw_ref[:] = jnp.zeros((L * K, L * HC), jnp.float32)
 
+    @pl.when(pj == 0)
+    def _():
+        dk_ref[:] = jnp.zeros((BA, D, HC), jnp.float32)
+        dv_ref[:] = jnp.zeros((BA, D, HC), jnp.float32)
+        de_ref[:] = jnp.zeros((BA, 1, HC), jnp.float32)
+
     e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)
     k = k_ref[:].astype(jnp.float32) + e
     v = v_ref[:].astype(jnp.float32) + e
-    aid_full = a_ref[:, 0]
-    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)
+    q_c = q_ref[:].astype(jnp.float32)
+    g_c = g_ref[:]
+    z_c = z_ref[:]
+    validf = jnp.expand_dims(valid_ref[:], -1)
     rbf = rbf_ref[:].reshape(BA * D, L * K)
     G_flat = _mm(rbf, w_bd).reshape(BA, D, L * HC)
     v4 = jnp.expand_dims(v, 1)
     k4 = jnp.expand_dims(k, 1)
-    dk_acc = jnp.zeros((BA, D, HC), jnp.float32)
-    dv_acc = jnp.zeros((BA, D, HC), jnp.float32)
-    dG_acc = jnp.zeros((BA, D, L * HC), jnp.float32)
-    db_acc = jnp.zeros((HC,), jnp.float32)
-    for ci in range(D // IC):
-        lo = ci * IC
-        q_c = jax.lax.slice_in_dim(q_ref[:], lo, lo + IC,
-                                   axis=1).astype(jnp.float32)
-        z_c = jax.lax.slice_in_dim(z_ref[:], lo, lo + IC, axis=1)
-        g_c = jax.lax.slice_in_dim(g_ref[:], lo, lo + IC, axis=1)
-        aid = jax.lax.slice_in_dim(aid_full, lo, lo + IC, axis=1)
-        aid = jnp.expand_dims(aid, 2)
-        valid = ((aid != bid) & (aid >= 0)
-                 & (bid >= 0)).astype(jnp.float32)
-        validf = jnp.expand_dims(valid, -1)
-        prod = jnp.expand_dims(q_c, 2) * k4
-        scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
-        scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
-        scores = scores * validf + (1.0 - validf) * _NEG
-        smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True),
-                           _NEG / 2)
-        ex = jnp.exp(scores - smax) * validf
-        denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-        alpha = ex / denom                               # (BA, IC, Dk, H)
-        alpha_rep = _heads_bcast(alpha.reshape(BA * IC * D, H),
-                                 Mind).reshape(BA, IC, D, HC)
-        P = _legendre_stack(z_c, L)
-        s = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
-        for l in range(L):
-            Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
-            s = s + (jnp.expand_dims(P[l], -1)
-                     * jnp.expand_dims(Gl, 1))
-        g4 = jnp.expand_dims(g_c, 2)                     # (BA, IC, 1, HC)
-        ds = g4 * v4 * alpha_rep
-        dv_acc = dv_acc + (g4 * s * alpha_rep).sum(axis=1)
-        dalpha = _heads_sum((g4 * v4 * s).reshape(BA * IC * D, HC), Mind)
-        dalpha = dalpha.reshape(BA, IC, D, H)
-        inner = (alpha * dalpha).sum(axis=2, keepdims=True)
-        dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
-        dscores = dscores * validf
-        dsc_rep = _heads_bcast(dscores.reshape(BA * IC * D, H),
-                               Mind).reshape(BA, IC, D, HC)
-        dq_ref[:, lo:lo + IC, :] = (dsc_rep * k4).sum(axis=2)
-        dk_acc = dk_acc + (dsc_rep * jnp.expand_dims(q_c, 2)).sum(axis=1)
-        dG_parts = [(jnp.expand_dims(P[l], -1) * ds).sum(axis=1)
-                    for l in range(L)]
-        dG_acc = dG_acc + jnp.concatenate(dG_parts, axis=-1)
-        db_acc = db_acc + ds.sum(axis=(0, 1, 2))
+    prod = jnp.expand_dims(q_c, 2) * k4
+    scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
+    scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
+    scores = scores * validf + (1.0 - validf) * _NEG
+    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
+    ex = jnp.exp(scores - smax) * validf
+    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+    alpha = ex / denom                                   # (BA, IC, Dk, H)
+    alpha_rep = _heads_bcast(alpha.reshape(BA * IC * D, H),
+                             Mind).reshape(BA, IC, D, HC)
+    P = _legendre_stack(z_c, L)
+    sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
+    for l in range(L):
+        Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
+        sm = sm + jnp.expand_dims(P[l], -1) * jnp.expand_dims(Gl, 1)
+    g4 = jnp.expand_dims(g_c, 2)                         # (BA, IC, 1, HC)
+    ds = g4 * v4 * alpha_rep
+    dv_c = (g4 * sm * alpha_rep).sum(axis=1)
+    dalpha = _heads_sum((g4 * v4 * sm).reshape(BA * IC * D, HC), Mind)
+    dalpha = dalpha.reshape(BA, IC, D, H)
+    inner = (alpha * dalpha).sum(axis=2, keepdims=True)
+    dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
+    dscores = dscores * validf
+    dsc_rep = _heads_bcast(dscores.reshape(BA * IC * D, H),
+                           Mind).reshape(BA, IC, D, HC)
+    dq_ref[:] = (dsc_rep * k4).sum(axis=2)
+    dk_c = (dsc_rep * jnp.expand_dims(q_c, 2)).sum(axis=1)
+    dk_ref[:] = dk_ref[:] + dk_c
+    dv_ref[:] = dv_ref[:] + dv_c
+    de_ref[:] = de_ref[:] + jnp.expand_dims((dk_c + dv_c).sum(axis=1), 1)
+    dG_parts = [(jnp.expand_dims(P[l], -1) * ds).sum(axis=1)
+                for l in range(L)]
+    dG_flat = jnp.concatenate(dG_parts, axis=-1)         # (BA, Dk, L*HC)
     dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
-        rbf, dG_acc.reshape(BA * D, L * HC),
+        rbf, dG_flat.reshape(BA * D, L * HC),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    db_ref[:] = db_ref[:] + db_acc[None, :]
-    dk_ref[:] = dk_acc
-    dv_ref[:] = dv_acc
-    de_ref[:] = jnp.expand_dims((dk_acc + dv_acc).sum(axis=1), 1)
+    db_ref[:] = db_ref[:] + ds.sum(axis=(0, 1, 2))[None, :]
 
 
 def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
@@ -394,13 +380,47 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                          memory_space=pltpu.VMEM),
     )
 
+    n_chunks = 1 if i_chunk is None else D // i_chunk
+    if i_chunk is not None:
+        IC = i_chunk
+        # pair validity precomputed by XLA (cheap); grid tiles slice it
+        valid_f = ((a_ids[:, :, None] != b_ids[:, None, :])
+                   & (a_ids >= 0)[:, :, None]
+                   & (b_ids >= 0)[:, None, :]).astype(jnp.float32)
+        cspecs = dict(
+            q=pl.BlockSpec((BA, IC, HC), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM),
+            kv=pl.BlockSpec((BA, D, HC), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM),
+            e=pl.BlockSpec((BA, 1, HC), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM),
+            rbf=pl.BlockSpec((BA, D, L * K), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            w=pl.BlockSpec((L * K, L * HC), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM),
+            b=pl.BlockSpec((1, HC), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM),
+            z=pl.BlockSpec((BA, IC, D), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM),
+        )
+
     def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
         if i_chunk is not None:
             kern = functools.partial(_fwd_kernel_ichunk, BA=BA, D=D, H=H,
                                      C=C, L=L, K=K, IC=i_chunk)
-        else:
-            kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C,
-                                     L=L, K=K)
+            return pl.pallas_call(
+                kern,
+                grid=(n_blocks, n_chunks),
+                in_specs=[cspecs["q"], cspecs["kv"], cspecs["kv"],
+                          cspecs["e"], cspecs["rbf"], cspecs["w"],
+                          cspecs["b"], cspecs["z"], cspecs["z"]],
+                out_specs=cspecs["q"],
+                out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+                interpret=interp,
+            )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
+              valid_f)
+        kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C,
+                                 L=L, K=K)
         return pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -423,31 +443,45 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
 
     def bwd(res, g):
         q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias = res
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+            jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+            jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, HC), jnp.float32),
+            jax.ShapeDtypeStruct((L * K, L * HC), jnp.float32),
+            jax.ShapeDtypeStruct((1, HC), jnp.float32),
+        )
         if i_chunk is not None:
             kern = functools.partial(_bwd_kernel_ichunk, BA=BA, D=D, H=H,
                                      C=C, L=L, K=K, IC=i_chunk)
+            dq, dk, dv, de, dw, db = pl.pallas_call(
+                kern,
+                grid=(n_blocks, n_chunks),
+                in_specs=[cspecs["q"], cspecs["kv"], cspecs["kv"],
+                          cspecs["e"], cspecs["rbf"], cspecs["w"],
+                          cspecs["b"], cspecs["z"], cspecs["z"],
+                          cspecs["q"]],
+                out_specs=(cspecs["q"], cspecs["kv"], cspecs["kv"],
+                           cspecs["e"], cspecs["w"], cspecs["b"]),
+                out_shape=out_shapes,
+                interpret=interp,
+            )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
+              valid_f, g)
         else:
             kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C,
                                      L=L, K=K)
-        dq, dk, dv, de, dw, db = pl.pallas_call(
-            kern,
-            grid=(n_blocks,),
-            in_specs=[specs["q"], specs["q"], specs["q"], specs["e"],
-                      specs["rbf"], specs["w"], specs["b"], specs["z"],
-                      specs["ids"], specs["ids"], specs["q"]],
-            out_specs=(specs["q"], specs["q"], specs["q"], specs["e"],
-                       specs["w"], specs["b"]),
-            out_shape=(
-                jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
-                jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
-                jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
-                jax.ShapeDtypeStruct((N, 1, HC), jnp.float32),
-                jax.ShapeDtypeStruct((L * K, L * HC), jnp.float32),
-                jax.ShapeDtypeStruct((1, HC), jnp.float32),
-            ),
-            interpret=interp,
-        )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-          a_ids3, b_ids3, g)
+            dq, dk, dv, de, dw, db = pl.pallas_call(
+                kern,
+                grid=(n_blocks,),
+                in_specs=[specs["q"], specs["q"], specs["q"], specs["e"],
+                          specs["rbf"], specs["w"], specs["b"], specs["z"],
+                          specs["ids"], specs["ids"], specs["q"]],
+                out_specs=(specs["q"], specs["q"], specs["q"], specs["e"],
+                           specs["w"], specs["b"]),
+                out_shape=out_shapes,
+                interpret=interp,
+            )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
+              a_ids3, b_ids3, g)
         # bf16 primals require bf16 cotangents (kernel math stays f32)
         return (dq.astype(q_blk.dtype), dk.astype(k_blk.dtype),
                 dv.astype(v_blk.dtype), de.astype(e_atom3.dtype),
