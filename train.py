@@ -52,8 +52,23 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (TPU executables take minutes to
+    build on this host; cache hits make restarts instant)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     args = parse_args(argv)
+    _enable_compile_cache()
     from x2gnn_tpu.config import (
         ModelConfig, TrainConfig, load_configs, dump_configs)
     from x2gnn_tpu.data.molecule import (
