@@ -150,3 +150,16 @@ def test_trainer_eval_uses_ema(make_molecule, rng, tmp_path):
              for e, p in zip(jax.tree_util.tree_leaves(state.ema.params),
                              jax.tree_util.tree_leaves(state.params))]
     assert max(diffs) > 0
+
+
+def test_trainer_profile_trace(make_molecule, rng, tmp_path):
+    """fit(profile_dir=...) captures a jax.profiler trace of epoch 2."""
+    import os
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    model = X2GNN(TINY_MODEL)
+    trainer = Trainer(model, TINY_MODEL, TINY_TRAIN, graphs, targets,
+                      workdir=str(tmp_path / "runp"))
+    prof = str(tmp_path / "trace")
+    trainer.fit(epochs=2, profile_dir=prof)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, "no trace files written"

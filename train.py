@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard molecules over all local devices")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of epoch 2 here")
     p.add_argument("--standardize", action="store_true",
                    help="z-score targets over the train split; reported "
                         "MAE is rescaled back to physical units")
@@ -155,7 +157,8 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step "
               f"{int(state.step)}", file=sys.stderr)
 
-    _, summary = trainer.fit(epochs=tcfg.max_epoch, state=state)
+    _, summary = trainer.fit(epochs=tcfg.max_epoch, state=state,
+                             profile_dir=args.profile_dir)
     print(json.dumps(summary))
     return 0
 

@@ -192,7 +192,11 @@ class Trainer:
 
     def fit(self, epochs: Optional[int] = None,
             state: Optional[TrainState] = None,
-            log_every_epoch: bool = True):
+            log_every_epoch: bool = True,
+            profile_dir: Optional[str] = None):
+        """`profile_dir`: capture a jax.profiler device trace of the
+        SECOND epoch (first epoch pays compilation) into that directory
+        (TensorBoard-viewable) — the reference has no profiler at all."""
         epochs = epochs or self.tcfg.max_epoch
         os.makedirs(self.workdir, exist_ok=True)
         log_path = os.path.join(self.workdir, "train.log")
@@ -202,7 +206,12 @@ class Trainer:
         best_val, test_err = None, None
         for epoch in range(epochs):
             t0 = time.time()
-            state, loss = self.run_epoch(state)
+            if profile_dir is not None and epoch == 1:
+                from x2gnn_tpu.utils.profiling import trace
+                with trace(profile_dir):
+                    state, loss = self.run_epoch(state)
+            else:
+                state, loss = self.run_epoch(state)
             val_err = self.evaluate(state, self.val_idx)
             improved = best_val is None or val_err <= best_val
             if improved:
