@@ -48,6 +48,11 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of epoch 2 here")
+    p.add_argument("--edge-partition", choices=["allgather", "ring"],
+                   default=None,
+                   help="shard each batched graph's ACTIVATIONS over the "
+                        "device mesh (graphs larger than one chip); "
+                        "'ring' exchanges K/V shard-by-shard via ppermute")
     p.add_argument("--standardize", action="store_true",
                    help="z-score targets over the train split; reported "
                         "MAE is rescaled back to physical units")
@@ -138,16 +143,23 @@ def main(argv=None):
             json.dump({"mu": mu, "sigma": sigma}, f)
 
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.edge_partition:
         import jax
         from x2gnn_tpu.parallel import make_mesh
         mesh = make_mesh()
-        print(f"data parallel over {jax.device_count()} devices",
+        mode = (f"edge partitioning ({args.edge_partition})"
+                if args.edge_partition else "data parallel")
+        print(f"{mode} over {jax.device_count()} devices",
               file=sys.stderr)
+    if args.edge_partition and args.layout != "blocked":
+        print("edge partitioning implies the blocked layout",
+              file=sys.stderr)
+        mcfg = dataclasses.replace(mcfg, attention_layout="blocked")
 
     model = X2GNN(mcfg)
     trainer = Trainer(model, mcfg, tcfg, graphs, targets,
-                      workdir=args.workdir, std=std, mesh=mesh)
+                      workdir=args.workdir, std=std, mesh=mesh,
+                      edge_partition=args.edge_partition)
     os.makedirs(args.workdir, exist_ok=True)
     dump_configs(mcfg, tcfg, os.path.join(args.workdir, "args.json"))
 

@@ -59,10 +59,16 @@ class Trainer:
         train_step_fn: Optional[Callable] = None,
         mesh=None,
         cache_batches: Optional[bool] = None,
+        edge_partition: Optional[str] = None,
     ):
         """`mesh`: a jax.sharding.Mesh with a 'data' axis enables
         molecule-sharded data parallelism (per-device batch groups,
         pmean'd gradients over ICI).
+
+        `edge_partition`: with a mesh, 'allgather' or 'ring' shards the
+        ACTIVATIONS of each batched graph across the mesh instead of
+        sharding molecules (parallel/ep_model.py) — for graphs larger
+        than one chip's memory. Mutually exclusive with plain DP.
 
         `cache_batches`: keep padded batches across epochs (the split
         order is fixed, trainer.py:22-27, so batches are identical every
@@ -90,7 +96,27 @@ class Trainer:
         self._batch_cache = {} if cache_batches else None
 
         self.mesh = mesh
-        if mesh is not None:
+        self.edge_partition = edge_partition
+        if mesh is not None and edge_partition is not None:
+            from x2gnn_tpu.parallel.ep_model import (
+                make_ep_forward, make_ep_train_step)
+            self.n_dev = int(mesh.devices.size)
+            n_pad = -(-self.budgets[0] // self.n_dev) * self.n_dev
+            self._ep_atoms = n_pad
+            self._train_step = make_ep_train_step(
+                model_cfg, self.optimizer, train_cfg.ema_decay, mesh,
+                n_pad, kv_exchange=edge_partition)
+            ep_fwd = make_ep_forward(model_cfg, mesh, n_pad,
+                                     kv_exchange=edge_partition)
+
+            def _ep_eval(ema_params, epb):
+                pred = ep_fwd(ema_params, epb)
+                err = masked_mae(pred, epb.y, mask=epb.graph_mask,
+                                 scale=self.std)
+                return err, epb.graph_mask.sum()
+
+            self._eval_step = _ep_eval
+        elif mesh is not None:
             from x2gnn_tpu.parallel.data_parallel import (
                 make_dp_train_step, make_dp_eval_step)
             self._train_step = make_dp_train_step(
@@ -169,6 +195,11 @@ class Trainer:
         batches = self._batches(idx)
         if self.mesh is None:
             return batches
+        if self.edge_partition is not None:
+            from x2gnn_tpu.parallel.ep_model import (
+                make_ep_batch, shard_ep_batch)
+            return (shard_ep_batch(make_ep_batch(b, self.n_dev), self.mesh)
+                    for b in batches)
         from x2gnn_tpu.parallel.data_parallel import dp_batch_iterator
         return dp_batch_iterator(batches, self.n_dev, self.mesh)
 
