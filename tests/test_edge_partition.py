@@ -23,7 +23,7 @@ def test_ep_matches_single_device(make_molecule, rng):
         g = build_mol_graph(numbers, pos, y=np.array([0.0]),
                             edge_feat_dim=8)
         gs.append(g)
-    n, e, t, d = pad_budget_for(gs, 8)
+    n, e, t, d = pad_budget_for(gs, 8)[:4]
     # pad atom and edge budgets to multiples of n_dev for clean shards
     n = ((n + n_dev - 1) // n_dev) * n_dev
     e = ((e + n_dev - 1) // n_dev) * n_dev

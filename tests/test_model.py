@@ -49,7 +49,7 @@ def test_padding_invariance(model, make_molecule, rng):
     """Same molecules, bigger pad budgets -> bitwise-equivalent predictions
     (up to float assoc.). This certifies the masking design."""
     gs = _graphs(make_molecule, 3, rng)
-    n, e, t, d = pad_budget_for(gs, 3)
+    n, e, t, d = pad_budget_for(gs, 3)[:4]
     small = pad_graphs(gs, (n, e, t, d))
     big = pad_graphs(gs, (n + 64, e + 256, t + 1024, d + 8), n_graph=5)
     params = model.init(jax.random.PRNGKey(0), small)
@@ -63,7 +63,7 @@ def test_padding_invariance(model, make_molecule, rng):
 def test_batch_composition_invariance(model, make_molecule, rng):
     """A molecule's prediction must not depend on its batch partners."""
     gs = _graphs(make_molecule, 3, rng)
-    n, e, t, d = pad_budget_for(gs, 3)
+    n, e, t, d = pad_budget_for(gs, 3)[:4]
     together = pad_graphs(gs, (n, e, t, d))
     params = model.init(jax.random.PRNGKey(1), together)
     out_together = np.asarray(model.apply(params, together))

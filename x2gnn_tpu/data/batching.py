@@ -31,6 +31,13 @@ class Budgets(NamedTuple):
     n_edge: int
     n_trip: int
     n_deg: int   # max triplets per destination edge (neighbor-table width)
+    # two-tier degree split for the blocked kernels (0 = disabled): atoms
+    # are degree-sorted per batch; rows >= n_hi are guaranteed to have
+    # degree <= n_deg_lo, so the kernel can process them in a (d_lo x
+    # d_lo) window instead of (D x D) — reclaiming the pad compute of
+    # the (much more numerous) low-degree atoms.
+    n_deg_lo: int = 0
+    n_hi: int = 0
 
 
 @struct.dataclass
@@ -83,6 +90,10 @@ class GraphBatch:
                                # one slot in each table, so blocked-layout
                                # gathers are injective and their backward
                                # is a gather too — no scatter anywhere)
+    # static (non-pytree) two-tier degree split: atoms are sorted by
+    # descending degree, rows >= n_hi all have degree <= d_lo (0 = off)
+    n_hi: int = struct.field(pytree_node=False, default=0)
+    d_lo: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_graphs(self) -> int:
@@ -120,8 +131,31 @@ def pad_budget_for(
         return ((max(v, 1) + multiple - 1) // multiple) * multiple
 
     deg = max((_max_degree(g) for g in graphs), default=1)
+    n_deg = round_up(deg)
+
+    # two-tier split: d_lo covers ~75% of atoms; n_hi = worst-case count
+    # of over-d_lo atoms in ANY batch_size-subset (composition-independent)
+    all_deg = np.concatenate([
+        np.maximum(np.bincount(g.edge_index[0], minlength=g.num_atoms),
+                   np.bincount(g.edge_index[1], minlength=g.num_atoms))
+        if g.num_edges else np.zeros(g.num_atoms, np.int64)
+        for g in graphs]) if graphs else np.zeros(1)
+    d_lo = int(-(-int(np.quantile(all_deg, 0.75)) // 8) * 8)
+    n_hi = 0
+    if 0 < d_lo < n_deg:
+        hi_counts = np.array([
+            int((np.maximum(
+                np.bincount(g.edge_index[0], minlength=g.num_atoms),
+                np.bincount(g.edge_index[1], minlength=g.num_atoms))
+                > d_lo).sum()) if g.num_edges else 0
+            for g in graphs])
+        n_hi = ((worst_case(hi_counts) + 7) // 8) * 8
+        if n_hi >= round_up(worst_case(n)):
+            d_lo = n_hi = 0   # split would cover everything: disable
+    else:
+        d_lo = 0
     return Budgets(round_up(worst_case(n)), round_up(worst_case(e)),
-                   round_up(worst_case(t)), round_up(deg))
+                   round_up(worst_case(t)), n_deg, d_lo, n_hi)
 
 
 def pad_graphs(
@@ -139,7 +173,9 @@ def pad_graphs(
     if len(budgets) == 3:
         deg = max((_max_degree(g) for g in graphs), default=1)
         budgets = Budgets(*budgets, ((deg + 7) // 8) * 8)
-    n_node, n_edge, n_trip, n_deg = budgets
+    n_node, n_edge, n_trip, n_deg = budgets[:4]
+    d_lo = budgets[4] if len(budgets) > 4 else 0
+    n_hi_budget = budgets[5] if len(budgets) > 5 else 0
     n_graph = n_graph if n_graph is not None else len(graphs)
     if len(graphs) > n_graph:
         raise ValueError(f"{len(graphs)} graphs > budget {n_graph}")
@@ -183,6 +219,36 @@ def pad_graphs(
         edge_gid[e0:e0 + ne] = gid
         y[gid] = targets[gid] if targets is not None else g.y[0]
         a0, e0, t0 = a0 + na, e0 + ne, t0 + nt
+
+    # ---- degree sort (two-tier kernel split) ----
+    # Relabel atoms by descending degree (a pure renaming — every index
+    # array is rewritten consistently; pad atoms have degree 0 and land
+    # last). Guarantees rows >= n_hi_budget have degree <= d_lo, so the
+    # blocked kernel can run the (numerous) low-degree rows in a d_lo
+    # window. Disabled when the budgets carry no split.
+    if d_lo > 0 and n_hi_budget > 0 and e0 > 0:
+        deg_in = np.bincount(edge_dst[:e0], minlength=n_node)
+        deg_out = np.bincount(edge_src[:e0], minlength=n_node)
+        key = np.maximum(deg_in, deg_out)
+        order = np.argsort(-key[:a0], kind="stable")
+        perm = np.concatenate([order, np.arange(a0, n_node)])
+        n_over = int((key[perm] > d_lo).sum())
+        if n_over > n_hi_budget:
+            raise ValueError(
+                f"{n_over} atoms exceed degree {d_lo} but the n_hi budget "
+                f"is {n_hi_budget} — budgets not from pad_budget_for?")
+        inv = np.empty(n_node, np.int64)
+        inv[perm] = np.arange(n_node)
+        numbers = numbers[perm]
+        positions = positions[perm]
+        atom_gid = atom_gid[perm]
+        edge_src[:e0] = inv[edge_src[:e0]]
+        edge_dst[:e0] = inv[edge_dst[:e0]]
+        trip_i[:t0] = inv[trip_i[:t0]]
+        trip_j[:t0] = inv[trip_j[:t0]]
+        trip_k[:t0] = inv[trip_k[:t0]]
+    else:
+        d_lo = n_hi_budget = 0
 
     node_mask = np.arange(n_node) < a0
     edge_mask = np.arange(n_edge) < e0
@@ -253,6 +319,7 @@ def pad_graphs(
         in_edges=in_edges, in_mask=in_mask_t,
         out_edges=out_edges, out_mask=out_mask_t, edge_inpos=edge_inpos,
         edge_outpos=edge_outpos,
+        n_hi=int(n_hi_budget), d_lo=int(d_lo),
     )
 
 

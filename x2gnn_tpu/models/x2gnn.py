@@ -210,7 +210,8 @@ class X2GNN(nn.Module):
                         out.reshape(N_, D, cfg.in_channels),
                         node_rbf, rbf_env_out, cbf, edge_attr,
                         out2in, in2out_flat, batch.in_mask, pair_mask,
-                        z=z_cos, a_ids=a_ids, b_ids=b_ids)
+                        z=z_cos, a_ids=a_ids, b_ids=b_ids,
+                        n_hi=batch.n_hi, d_lo=batch.d_lo)
                 out = out.reshape(-1, cfg.in_channels).astype(jnp.float32)
             else:
                 out = EdgeAttentionConv(

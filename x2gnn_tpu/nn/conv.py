@@ -168,7 +168,8 @@ class BlockedEdgeAttentionConv(nn.Module):
     @nn.compact
     def __call__(self, x_blk, rbf_blk, rbf_env_out, cbf, atom_edge_attr,
                  out2in, in2out_flat, in_mask, pair_mask,
-                 z=None, a_ids=None, b_ids=None):
+                 z=None, a_ids=None, b_ids=None,
+                 n_hi: int = 0, d_lo: int = 0):
         """x_blk: (N, D, C) in-layout line-graph node features;
         rbf_blk: (N, D, K) radial basis (in-layout); rbf_env_out:
         (N, D, L*K) radial sbf factor of the OUT-table rows (hoisted out
@@ -214,11 +215,33 @@ class BlockedEdgeAttentionConv(nn.Module):
             from x2gnn_tpu.ops.pallas import (
                 expand_block_diagonal, pallas_blocked_attention)
             w_bd = expand_block_diagonal(w_sbf, L, K, self.channels)
-            out = pallas_blocked_attention(
-                q, k_out, v_out,
-                e_atom.reshape(N, self.channels),
-                rbf_env_out, w_bd, b_sbf.reshape(1, self.channels),
-                z, a_ids, b_ids, heads=H, num_radial=K)  # (N, D, HC)
+            e_a = e_atom.reshape(N, self.channels)
+            bias = b_sbf.reshape(1, self.channels)
+            if 0 < n_hi < N and 0 < d_lo < D:
+                # two-tier degree split: atoms are degree-sorted, so rows
+                # >= n_hi all have degree <= d_lo — run them in a
+                # (d_lo x d_lo) window (most of a batch's atoms; the D^2
+                # pad compute of the full budget is reclaimed)
+                out_hi = pallas_blocked_attention(
+                    q[:n_hi], k_out[:n_hi], v_out[:n_hi], e_a[:n_hi],
+                    rbf_env_out[:n_hi], w_bd, bias,
+                    z[:n_hi], a_ids[:n_hi], b_ids[:n_hi],
+                    heads=H, num_radial=K)
+                out_lo = pallas_blocked_attention(
+                    q[n_hi:, :d_lo], k_out[n_hi:, :d_lo],
+                    v_out[n_hi:, :d_lo], e_a[n_hi:],
+                    rbf_env_out[n_hi:, :d_lo], w_bd, bias,
+                    z[n_hi:, :d_lo, :d_lo],
+                    a_ids[n_hi:, :d_lo], b_ids[n_hi:, :d_lo],
+                    heads=H, num_radial=K)
+                out = jnp.zeros((N, D, self.channels), out_hi.dtype)
+                out = out.at[:n_hi].set(out_hi)
+                out = out.at[n_hi:, :d_lo].set(out_lo)
+            else:
+                out = pallas_blocked_attention(
+                    q, k_out, v_out, e_a,
+                    rbf_env_out, w_bd, bias,
+                    z, a_ids, b_ids, heads=H, num_radial=K)  # (N, D, HC)
         else:
             from x2gnn_tpu.ops.attention import blocked_attention_core
             G = jnp.einsum("nelk,lkf->nelf",

@@ -344,11 +344,15 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     if i_chunk is not None:
         assert D % i_chunk == 0, f"D={D} not a multiple of i_chunk={i_chunk}"
     if block_atoms is None:
+        # VMEM tiles pad the lane (last) dim to 128: HC < 128 still costs
+        # 128 lanes per row (found the hard way — a HC=32 run OOMed with
+        # a budget sized for HC=32)
+        lanes = max(HC, 128)
         if i_chunk is not None:
             # ~8 live (IC, D, HC) chunk temporaries per atom
-            per_atom = i_chunk * D * HC * 4 * 8
+            per_atom = i_chunk * D * lanes * 4 * 8
         else:
-            per_atom = D * D * HC * 4 * 8   # ~8 live (D,D,HC) temporaries
+            per_atom = D * D * lanes * 4 * 8  # ~8 live (D,D,HC) temporaries
         block_atoms = 8
         while block_atoms > 1 and block_atoms * per_atom > 10 * 2 ** 20:
             block_atoms //= 2

@@ -186,7 +186,13 @@ class Trainer:
                             budgets=self.budgets, targets=targets)
         if self._batch_cache is None:
             return it
-        batches = list(it)
+        # cache DEVICE-resident batches: each batch is host->device
+        # transferred exactly once per run. Re-transferring numpy batches
+        # every step leaks host memory on the remote-TPU backend (a
+        # multi-hour run was OOM-killed at 127 GB host RSS) and wastes
+        # PCIe/tunnel bandwidth every epoch.
+        import jax.numpy as jnp_
+        batches = [jax.tree_util.tree_map(jnp_.asarray, b) for b in it]
         self._batch_cache[key] = batches
         return iter(batches)
 
