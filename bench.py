@@ -216,6 +216,31 @@ def main():
         log(f"blocked (pallas, degree-split) fwd+bwd: {t_pal2 * 1e3:.3f} "
             f"ms -> {real_T / t_pal2 / 1e6:.1f} M triplets/s")
 
+    # ---- full-model training-shaped step (diagnostic): flagship config
+    # (4 conv layers, 128 channels, 16 heads) fwd+bwd on the same batch
+    try:
+        from x2gnn_tpu.models import X2GNN
+        cfg = ModelConfig(attention_layout="blocked")
+        model = X2GNN(cfg)
+        jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
+        params = model.init(jax.random.PRNGKey(0), jbatch)
+        y = jnp.asarray(batch.y)
+        gm = jnp.asarray(batch.graph_mask)
+
+        def model_loss(p):
+            out = model.apply(p, jbatch)
+            return jnp.where(gm, (out - y) ** 2, 0.0).sum()
+
+        mstep = jax.jit(jax.grad(model_loss))
+        t_model = time_fn(mstep, params, iters=10)
+        G_real = int(batch.graph_mask.sum())
+        log(f"full model fwd+bwd ({cfg.conv_layers} layers): "
+            f"{t_model * 1e3:.2f} ms -> {G_real / t_model:.1f} molecules/s"
+            f", {cfg.conv_layers * real_T / t_model / 1e6:.1f} M "
+            f"triplet-msgs/s")
+    except Exception as exc:   # diagnostics must not break the headline
+        log(f"full-model bench skipped: {exc}")
+
     best = min(t_seg, t_pad, t_blk, t_pal, t_pal2)
     result = {
         "metric": "edge_attention_throughput",

@@ -47,7 +47,16 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import os
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     from x2gnn_tpu.config import ModelConfig, TrainConfig, load_configs
     from x2gnn_tpu.data.batching import batch_iterator, pad_budget_for
     from x2gnn_tpu.data.molecule import (

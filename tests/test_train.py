@@ -163,3 +163,29 @@ def test_trainer_profile_trace(make_molecule, rng, tmp_path):
     trainer.fit(epochs=2, profile_dir=prof)
     found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
     assert found, "no trace files written"
+
+
+def test_resume_does_not_clobber_best_checkpoint(make_molecule, rng,
+                                                 tmp_path):
+    """On resume, the best-val gate is seeded from the restored weights:
+    a worse first epoch of the resumed run must NOT overwrite ckpt_best."""
+    import dataclasses
+    import jax.numpy as jnp
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    model = X2GNN(TINY_MODEL)
+    tcfg = dataclasses.replace(TINY_TRAIN, ckpt_after_epoch=0)
+    wd = tmp_path / "resume_run"
+    trainer = Trainer(model, TINY_MODEL, tcfg, graphs, targets,
+                      workdir=str(wd))
+    trainer.fit(epochs=3)
+    state = trainer.restore(str(wd / "ckpt_best"))
+    val0 = trainer.evaluate(state, trainer.val_idx)
+    # corrupt the params: the resumed run's first epochs will be worse
+    bad = state._replace(params=jax.tree_util.tree_map(
+        lambda p: p * 10.0, state.params))
+    bad = bad._replace(ema=bad.ema._replace(params=jax.tree_util.tree_map(
+        lambda p: p * 10.0, bad.ema.params)))
+    trainer.fit(epochs=1, state=bad)
+    state2 = trainer.restore(str(wd / "ckpt_best"))
+    val1 = trainer.evaluate(state2, trainer.val_idx)
+    np.testing.assert_allclose(val1, val0, rtol=1e-6)

@@ -238,9 +238,14 @@ class Trainer:
         os.makedirs(self.workdir, exist_ok=True)
         log_path = os.path.join(self.workdir, "train.log")
         jsonl_path = os.path.join(self.workdir, "metrics.jsonl")
+        resumed = state is not None
         state = state if state is not None else self.init_state()
 
         best_val, test_err = None, None
+        if resumed:
+            # seed the best-val gate from the restored weights so an early
+            # (worse) epoch of the resumed run cannot overwrite ckpt_best
+            best_val = self.evaluate(state, self.val_idx)
         for epoch in range(epochs):
             t0 = time.time()
             if profile_dir is not None and epoch == 1:
