@@ -242,10 +242,17 @@ class Trainer:
         state = state if state is not None else self.init_state()
 
         best_val, test_err = None, None
+        best_meta = os.path.join(self.workdir, "ckpt_best_val.json")
         if resumed:
-            # seed the best-val gate from the restored weights so an early
-            # (worse) epoch of the resumed run cannot overwrite ckpt_best
+            # seed the best-val gate so an early (worse) epoch of the
+            # resumed run cannot overwrite ckpt_best: use the recorded
+            # value of the existing ckpt_best if present (the gate guards
+            # THAT artifact), else the restored weights' own val MAE
             best_val = self.evaluate(state, self.val_idx)
+            if os.path.exists(best_meta):
+                with open(best_meta) as f:
+                    best_val = min(best_val,
+                                   float(json.load(f)["best_val_mae"]))
         for epoch in range(epochs):
             t0 = time.time()
             if profile_dir is not None and epoch == 1:
@@ -265,6 +272,8 @@ class Trainer:
                     test_err = self.evaluate(state, self.test_idx)
                     save_checkpoint(
                         os.path.join(self.workdir, "ckpt_best"), state)
+                    with open(best_meta, "w") as f:
+                        json.dump({"best_val_mae": float(best_val)}, f)
             seconds = time.time() - t0
             n_train = len(self.train_idx)
             steps = -(-n_train // self.tcfg.batch_size)
