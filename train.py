@@ -53,6 +53,15 @@ def parse_args(argv=None):
                    help="shard each batched graph's ACTIVATIONS over the "
                         "device mesh (graphs larger than one chip); "
                         "'ring' exchanges K/V shard-by-shard via ppermute")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="conv-stack compute dtype (params stay f32; "
+                        "bfloat16 halves attention gather traffic)")
+    p.add_argument("--check-determinism", action="store_true",
+                   help="before training, run the jitted train step twice "
+                        "on the first batch and compare states BITWISE — "
+                        "catches donated-buffer aliasing, unseeded "
+                        "randomness, and host-side data races")
     p.add_argument("--standardize", action="store_true",
                    help="z-score targets over the train split; reported "
                         "MAE is rescaled back to physical units")
@@ -102,6 +111,8 @@ def main(argv=None):
                else "molwise_mean")
     mcfg = dataclasses.replace(mcfg, readout=readout,
                                attention_layout=args.layout)
+    if args.compute_dtype is not None:
+        mcfg = dataclasses.replace(mcfg, compute_dtype=args.compute_dtype)
 
     if args.synthetic:
         from x2gnn_tpu.data.synthetic import synthetic_dataset
@@ -168,6 +179,17 @@ def main(argv=None):
         state = trainer.restore(args.resume)
         print(f"resumed from {args.resume} at step "
               f"{int(state.step)}", file=sys.stderr)
+
+    if args.check_determinism:
+        from x2gnn_tpu.utils.determinism import (
+            check_train_step_determinism)
+        report = check_train_step_determinism(trainer, state=state)
+        tag = "OK" if report["deterministic"] else "MISMATCH"
+        print(f"determinism check: {tag}", file=sys.stderr)
+        for m in report["mismatches"]:
+            print(f"  {m}", file=sys.stderr)
+        if not report["deterministic"]:
+            return 3
 
     _, summary = trainer.fit(epochs=tcfg.max_epoch, state=state,
                              profile_dir=args.profile_dir)
