@@ -1,0 +1,153 @@
+"""Serving / inference API: restore a trained run and predict properties
+for arbitrary molecules with a bounded set of compiled executables.
+
+The reference's only inference surface is the stripped `load.ipynb`
+(README.md:21-22: restore ckpt, evaluate transfer datasets). This module
+is the production counterpart: a `Predictor` that
+
+  * restores checkpoint + configs + target standardization from a
+    training workdir (`Predictor.from_run`) or an explicit checkpoint;
+  * pads incoming molecules to a small geometric grid of static budget
+    shapes, so arbitrary request sizes reuse a handful of jitted
+    executables instead of recompiling per request (XLA compiles per
+    shape; serving traffic must hit a closed shape set);
+  * evaluates the EMA weights by default (trainer.py:57 semantics) and
+    de-standardizes predictions back to physical units.
+
+Typical use:
+    pred = Predictor.from_run("runs/u0")          # ckpt_best + args.json
+    energies = pred.predict_xyz("raw/AID_kcal.xyz", backend="native")
+    # or, from featurized graphs:
+    energies = pred.predict(graphs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from x2gnn_tpu.config import ModelConfig, TrainConfig
+from x2gnn_tpu.data.batching import (
+    Budgets, batch_iterator, pad_budget_for)
+
+
+def _round_up_pow2(v: int, floor: int = 8) -> int:
+    v = max(int(v), floor)
+    return 1 << (v - 1).bit_length()
+
+
+def quantize_budgets(b: Budgets) -> Budgets:
+    """Round budgets up to a geometric grid (powers of two; degree to a
+    multiple of 8) so different request compositions map to a small,
+    closed set of compiled shapes. The two-tier degree split is disabled
+    for serving — it is a training-throughput optimization whose split
+    point is dataset-dependent."""
+    return Budgets(_round_up_pow2(b.n_node), _round_up_pow2(b.n_edge),
+                   _round_up_pow2(b.n_trip), -(-b.n_deg // 8) * 8, 0, 0)
+
+
+def load_run_configs(path: str):
+    """Read the {model: ..., train: ...} json archived by train.py
+    (dump_configs); also accepts the reference's flat config.json."""
+    with open(path) as f:
+        raw = json.load(f)
+    if "model" in raw and "train" in raw:
+        return (ModelConfig(**raw["model"]), TrainConfig(**raw["train"]))
+    from x2gnn_tpu.config import load_configs
+    return load_configs(raw)
+
+
+def _leaf(tree: Any, key: str):
+    """Field access on restored checkpoints, which may come back as
+    NamedTuples (with template) or plain dicts (raw orbax restore)."""
+    if hasattr(tree, key):
+        return getattr(tree, key)
+    return tree[key]
+
+
+class Predictor:
+    """Batched inference over a trained X2GNN checkpoint."""
+
+    def __init__(self, model_cfg: ModelConfig, params: Any,
+                 std: float = 1.0, stats: Optional[dict] = None,
+                 batch_size: int = 32):
+        import jax
+        from x2gnn_tpu.models import X2GNN
+        self.mcfg = model_cfg
+        self.model = X2GNN(model_cfg)
+        self.params = params
+        self.std = std                  # report-unit calibration
+        self.stats = stats              # {"mu": ..., "sigma": ...} or None
+        self.batch_size = batch_size
+        self._apply = jax.jit(self.model.apply)
+
+    # ---- constructors ------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str,
+                        model_cfg: Optional[ModelConfig] = None,
+                        use_ema: bool = True, **kw) -> "Predictor":
+        from x2gnn_tpu.train.checkpoint import restore_checkpoint
+        if model_cfg is None:
+            args_json = os.path.join(os.path.dirname(
+                os.path.abspath(ckpt_path)), "args.json")
+            model_cfg, _ = load_run_configs(args_json)
+        restored = restore_checkpoint(ckpt_path)
+        params = (_leaf(_leaf(restored, "ema"), "params")
+                  if use_ema else _leaf(restored, "params"))
+        return cls(model_cfg, params, **kw)
+
+    @classmethod
+    def from_run(cls, workdir: str, use_ema: bool = True,
+                 **kw) -> "Predictor":
+        """Restore ckpt_best + configs + standardization from a train.py
+        workdir."""
+        mcfg, _ = load_run_configs(os.path.join(workdir, "args.json"))
+        stats = None
+        stats_path = os.path.join(workdir, "standardization.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                stats = json.load(f)
+        return cls.from_checkpoint(os.path.join(workdir, "ckpt_best"),
+                                   model_cfg=mcfg, use_ema=use_ema,
+                                   stats=stats, **kw)
+
+    # ---- prediction ---------------------------------------------------
+    def predict(self, graphs: Sequence,
+                batch_size: Optional[int] = None) -> np.ndarray:
+        """Per-molecule predictions (physical units) for featurized
+        MolGraphs, in input order."""
+        bs = batch_size or self.batch_size
+        budgets = quantize_budgets(pad_budget_for(graphs, bs))
+        out = []
+        for batch in batch_iterator(graphs, bs, budgets=budgets):
+            pred = np.asarray(self._apply(self.params, batch))
+            keep = np.asarray(batch.graph_mask).astype(bool)
+            out.append(pred[keep])
+        pred = np.concatenate(out) if out else np.zeros(0, np.float32)
+        if self.stats is not None:
+            pred = pred * self.stats["sigma"] + self.stats["mu"]
+        return pred
+
+    def predict_xyz(self, xyz_path: str, backend: str = "auto",
+                    cache_dir: Optional[str] = "./processed",
+                    limit: Optional[int] = None,
+                    batch_size: Optional[int] = None) -> np.ndarray:
+        """Featurize a concatenated-xyz file (identically to training —
+        the transfer-eval contract, README.md:21-22) and predict."""
+        from x2gnn_tpu.data.dataset import load_dataset
+        graphs = load_dataset(xyz_path, cache_dir=cache_dir,
+                              cutoff=self.mcfg.cutoff, backend=backend,
+                              limit=limit)
+        return self.predict(graphs, batch_size=batch_size)
+
+    def predict_molecules(self, molecules: Sequence,
+                          backend: str = "auto",
+                          batch_size: Optional[int] = None) -> np.ndarray:
+        """Featurize in-memory Molecule objects and predict."""
+        from x2gnn_tpu.data.dataset import featurize_molecules
+        graphs = featurize_molecules(molecules, cutoff=self.mcfg.cutoff,
+                                     backend=backend)
+        return self.predict(graphs, batch_size=batch_size)

@@ -236,6 +236,11 @@ class Trainer:
         (TensorBoard-viewable) — the reference has no profiler at all."""
         epochs = epochs or self.tcfg.max_epoch
         os.makedirs(self.workdir, exist_ok=True)
+        # archive the resolved configs (reference: trainer.py:85-86); also
+        # what Predictor.from_run reads to rebuild the model
+        from x2gnn_tpu.config import dump_configs
+        dump_configs(self.mcfg, self.tcfg,
+                     os.path.join(self.workdir, "args.json"))
         log_path = os.path.join(self.workdir, "train.log")
         jsonl_path = os.path.join(self.workdir, "metrics.jsonl")
         resumed = state is not None
