@@ -180,13 +180,29 @@ class X2GNN(nn.Module):
         # (N*D,) flat in-slots in the blocked layout
         node_rbf_flat = node_rbf.reshape(-1, cfg.rbf_dim)
 
+        edges_to_src_atoms = None
+        if blocked:
+            # scatter-free readout aggregation: re-index gated edge rows
+            # into the out-table (rows = SOURCE atoms, matching the
+            # reference's scatter over edge_index[0], readout.py:37) and
+            # dense-sum over the degree axis — a gather + reduction
+            # instead of an XLA scatter, per readout, per layer
+            out_mask3 = batch.out_mask[..., None]
+
+            def edges_to_src_atoms(gated):
+                g_out = injective_gather(gated, out2in, in2out_flat,
+                                         mask_flat)
+                return jnp.where(out_mask3, g_out, 0.0).sum(axis=1)
+
         def run_readout(i: int, x):
             if cfg.readout == "atomwise":
                 return readout(i)(x, node_rbf_flat, src_flat, num_atoms,
-                                  edge_mask=mask_flat)
+                                  edge_mask=mask_flat,
+                                  aggregate=edges_to_src_atoms)
             return readout(i)(x, node_rbf_flat, src_flat, batch.atom_gid,
                               num_atoms, num_graphs, edge_mask=mask_flat,
-                              node_mask=batch.node_mask)
+                              node_mask=batch.node_mask,
+                              aggregate=edges_to_src_atoms)
 
         conv_dtype = (jnp.bfloat16
                       if cfg.compute_dtype == "bfloat16" else None)
@@ -197,8 +213,10 @@ class X2GNN(nn.Module):
             if v2:
                 # V2 (model.py:136-140): per-layer edge_attr from the
                 # aggregated atom representations of the media atom
-                atoms_rep = segment_sum(out, src_flat, num_atoms,
-                                        mask=mask_flat)
+                atoms_rep = (edges_to_src_atoms(out)
+                             if edges_to_src_atoms is not None
+                             else segment_sum(out, src_flat, num_atoms,
+                                              mask=mask_flat))
                 h = edgenn(atoms_rep, tag=f"_{i}", width=cfg.in_channels)
                 edge_attr = h if blocked else h[batch.trip_j]
             if blocked:

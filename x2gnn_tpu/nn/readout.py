@@ -23,13 +23,22 @@ class AtomWiseReadout(nn.Module):
     mlp_depth: int = 3
 
     @nn.compact
-    def __call__(self, x, rbf, edge_src, num_atoms: int, edge_mask=None):
+    def __call__(self, x, rbf, edge_src, num_atoms: int, edge_mask=None,
+                 aggregate=None):
         """x: (E, C) edge features; rbf: (E, K); edge_src: (E,) source atom
         of each atom-graph edge (the reference scatters over edge_index[0],
-        readout.py:37). Returns (num_atoms, num_target)."""
+        readout.py:37). Returns (num_atoms, num_target).
+
+        `aggregate`: optional callable (E, C) -> (num_atoms, C) replacing
+        the edges->atoms segment_sum. The blocked layout passes a
+        scatter-free out-table gather + dense row sum (exactly equivalent:
+        each real edge occupies exactly one out-slot of its source atom)."""
         gate = Dense(self.channels, name="lin_rbf")(rbf)
         out = gate * x
-        out = segment_sum(out, edge_src, num_atoms, mask=edge_mask)
+        if aggregate is not None:
+            out = aggregate(out)
+        else:
+            out = segment_sum(out, edge_src, num_atoms, mask=edge_mask)
         return MLPHead(self.channels, self.num_target, self.mlp_depth,
                        name="mlp")(out)
 
@@ -42,11 +51,15 @@ class MolWiseReadout(nn.Module):
 
     @nn.compact
     def __call__(self, x, rbf, edge_src, atom_gid, num_atoms: int,
-                 num_graphs: int, edge_mask=None, node_mask=None):
+                 num_graphs: int, edge_mask=None, node_mask=None,
+                 aggregate=None):
         assert self.pool in ("mean", "add"), "unsupported pooling option"
         gate = Dense(self.channels, name="lin_rbf")(rbf)
         out = gate * x
-        out = segment_sum(out, edge_src, num_atoms, mask=edge_mask)
+        if aggregate is not None:
+            out = aggregate(out)
+        else:
+            out = segment_sum(out, edge_src, num_atoms, mask=edge_mask)
         if self.pool == "mean":
             out = segment_mean(out, atom_gid, num_graphs, mask=node_mask)
         else:
