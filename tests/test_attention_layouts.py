@@ -165,3 +165,16 @@ def test_neighbor_tables_consistent(make_molecule, rng):
                                   rows)
     np.testing.assert_array_equal(b.nbr_src[rows, cols],
                                   b.trip_src_edge[b.nbr_trip[rows, cols]])
+
+
+def test_beta_layout_equivalence(make_molecule, rng):
+    """The beta-gated skip must stay layout-equivalent (same param tree)."""
+    b = _batch(make_molecule, rng)
+    cfg_s = dataclasses.replace(CFG, attention_layout="segment", beta=True)
+    cfg_b = dataclasses.replace(CFG, attention_layout="blocked", beta=True)
+    model_seg = X2GNN(cfg_s)
+    model_blk = X2GNN(cfg_b)
+    params = model_seg.init(jax.random.PRNGKey(0), b)
+    out_seg = np.asarray(model_seg.apply(params, b))
+    out_blk = np.asarray(model_blk.apply(params, b))
+    np.testing.assert_allclose(out_seg, out_blk, rtol=5e-4, atol=5e-5)

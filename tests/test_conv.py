@@ -115,3 +115,38 @@ def test_conv_grad_finite(rng):
     g = jax.grad(loss)(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+
+
+def test_conv_beta_gated_skip(rng):
+    """use_beta=True applies the reference's gated skip
+    (sbftransformer_conv.py:122-125): out = b*skip + (1-b)*attn with
+    b = sigmoid(lin_beta([attn, skip, attn - skip]))."""
+    H, C = 4, 32
+    x, rbf, sbf, eattr, ts, td, mask = _make_problem(rng, C=C, H=H)
+    conv = EdgeAttentionConv(channels=C, heads=H, use_beta=True)
+    args = (jnp.asarray(x), jnp.asarray(rbf), jnp.asarray(sbf),
+            jnp.asarray(eattr), jnp.asarray(ts), jnp.asarray(td),
+            jnp.asarray(mask))
+    params = conv.init(jax.random.PRNGKey(3), *args)
+    got = np.asarray(conv.apply(params, *args))
+
+    base = _oracle(params, x, rbf, sbf, eattr, ts, td, mask, H, C)
+    p = params["params"]
+
+    def lin(name, v, bias=True):
+        q = p[name]
+        if "Dense_0" in q:
+            q = q["Dense_0"]
+        out = v @ np.asarray(q["kernel"])
+        if bias and "bias" in q:
+            out = out + np.asarray(q["bias"])
+        return out
+
+    skip = lin("lin_skip", x)
+    attn = base - skip   # oracle adds the plain skip; recover attn part
+    b = 1.0 / (1.0 + np.exp(-lin(
+        "lin_beta", np.concatenate([attn, skip, attn - skip], -1),
+        bias=False)))
+    expect = b * skip + (1.0 - b) * attn
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
+    assert "lin_beta" in p

@@ -34,6 +34,10 @@ class ModelConfig:
     readout: str = "atomwise"
     mlp_depth: int = 3
     dropout: float = 0.0
+    # beta-gated skip connection in the attention conv (the reference
+    # defines the branch but uses beta=False everywhere,
+    # sbftransformer_conv.py:25,122-125)
+    beta: bool = False
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # bfloat16 optional for conv stack

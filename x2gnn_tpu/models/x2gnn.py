@@ -224,6 +224,7 @@ class X2GNN(nn.Module):
                     cfg.in_channels, cfg.heads,
                     sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
                     use_pallas=use_pallas, dtype=conv_dtype,
+                    use_beta=cfg.beta,
                     name=f"conv_{i}")(
                         out.reshape(N_, D, cfg.in_channels),
                         node_rbf, rbf_env_out, cbf, edge_attr,
@@ -235,6 +236,7 @@ class X2GNN(nn.Module):
                 out = EdgeAttentionConv(
                     cfg.in_channels, cfg.heads, cfg.dropout,
                     layout=cfg.attention_layout, dtype=conv_dtype,
+                    use_beta=cfg.beta,
                     name=f"conv_{i}")(
                         out, node_rbf, sbf, edge_attr,
                         batch.trip_src_edge, batch.trip_dst_edge,

@@ -66,6 +66,9 @@ class EdgeAttentionConv(nn.Module):
     # optional override: fn(q, k, v, e_proj, s_proj, trip_src, trip_dst,
     # mask, E) -> (E, H, C); used to swap in Pallas kernels.
     attention_fn: Optional[Callable] = None
+    # beta-gated skip connection (reference defines it with beta=False in
+    # every use, sbftransformer_conv.py:25,122-125)
+    use_beta: bool = False
 
     @nn.compact
     def __call__(self, x, rbf, sbf, edge_attr, trip_src, trip_dst,
@@ -130,7 +133,16 @@ class EdgeAttentionConv(nn.Module):
             out = segment_sum(msg, trip_dst, num_edges,
                               mask=trip_mask)       # SpMM scatter
         out = out.reshape(num_edges, H * C)
-        out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
+        skip = TorchDense(self.channels, name="lin_skip")(x_dst)
+        if self.use_beta:
+            # beta-gated skip (sbftransformer_conv.py:122-125; defined by
+            # the reference but beta=False in every model use)
+            beta = jax.nn.sigmoid(TorchDense(
+                1, use_bias=False, name="lin_beta")(
+                    jnp.concatenate([out, skip, out - skip], axis=-1)))
+            out = beta * skip + (1.0 - beta) * out
+        else:
+            out = out + skip
         if return_attention_weights:
             # sbftransformer_conv.py:129-134 equivalent (segment layout)
             assert weights is not None, (
@@ -164,6 +176,8 @@ class BlockedEdgeAttentionConv(nn.Module):
     # FLOPs; params stay f32 and all attention math runs f32 (the Pallas
     # kernel widens at load; the XLA path casts before the core)
     dtype: Optional[Any] = None
+    # beta-gated skip (see EdgeAttentionConv.use_beta)
+    use_beta: bool = False
 
     @nn.compact
     def __call__(self, x_blk, rbf_blk, rbf_env_out, cbf, atom_edge_attr,
@@ -256,5 +270,12 @@ class BlockedEdgeAttentionConv(nn.Module):
                 G.reshape(N, D, L, H, C),
                 b_sbf.reshape(H, C),
                 cbf, pair_mask).reshape(N, D, self.channels)
-        out = out + TorchDense(self.channels, name="lin_skip")(x_dst)
+        skip = TorchDense(self.channels, name="lin_skip")(x_dst)
+        if self.use_beta:
+            beta = jax.nn.sigmoid(TorchDense(
+                1, use_bias=False, name="lin_beta")(
+                    jnp.concatenate([out, skip, out - skip], axis=-1)))
+            out = beta * skip + (1.0 - beta) * out
+        else:
+            out = out + skip
         return out
