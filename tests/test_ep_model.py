@@ -26,8 +26,9 @@ CFG = ModelConfig(conv_layers=2, in_channels=32, embedding_size=32,
                   attention_layout="blocked", use_pallas=False)
 
 
-def _setup(readout="atomwise", variant="v1", n_mol=6, seed=11):
-    cfg = dataclasses.replace(CFG, readout=readout, variant=variant)
+def _setup(readout="atomwise", variant="v1", n_mol=6, seed=11, **extra):
+    cfg = dataclasses.replace(CFG, readout=readout, variant=variant,
+                              **extra)
     graphs = synthetic_dataset(n_mol, mean_atoms=8, seed=seed,
                                edge_feat_dim=8)
     batch = pad_graphs(graphs, pad_budget_for(graphs, n_mol))
@@ -51,6 +52,15 @@ def test_ep_forward_matches_model(readout):
 
 def test_ep_forward_matches_model_v2():
     cfg, model, params, batch, epb, epbs, mesh = _setup(variant="v2")
+    ref = np.asarray(model.apply(params, batch))
+    fwd = make_ep_forward(cfg, mesh, epb.numbers.shape[0])
+    got = np.asarray(fwd(params, epbs))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_ep_forward_matches_model_beta():
+    """Beta-gated skip (ModelConfig.beta) under edge partitioning."""
+    cfg, model, params, batch, epb, epbs, mesh = _setup(beta=True)
     ref = np.asarray(model.apply(params, batch))
     fwd = make_ep_forward(cfg, mesh, epb.numbers.shape[0])
     got = np.asarray(fwd(params, epbs))

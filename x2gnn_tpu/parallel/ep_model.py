@@ -368,7 +368,15 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
             wl = alpha * cbf[..., l][..., None]
             out = out + jnp.einsum("nikh,nkhc->nihc", wl, v4 * G5[:, :, l])
         out = out.reshape(Nl, D, HC)
-        return out + _lin(cp["lin_skip"], x_blk)
+        skip = _lin(cp["lin_skip"], x_blk)
+        if cfg.beta:
+            # beta-gated skip (sbftransformer_conv.py:122-125) — purely
+            # row-local, so no extra communication in the EP layout
+            bg = jax.nn.sigmoid(_lin(
+                cp["lin_beta"],
+                jnp.concatenate([out, skip, out - skip], axis=-1)))
+            return bg * skip + (1.0 - bg) * out
+        return out + skip
 
     out = neo_x
     results = run_readout(0, out)
