@@ -238,6 +238,18 @@ def main():
             f"{t_model * 1e3:.2f} ms -> {G_real / t_model:.1f} molecules/s"
             f", {cfg.conv_layers * real_T / t_model / 1e6:.1f} M "
             f"triplet-msgs/s")
+
+        # bf16 conv stack (params f32, attention math f32 in-kernel)
+        model16 = X2GNN(ModelConfig(attention_layout="blocked",
+                                    compute_dtype="bfloat16"))
+
+        def model_loss16(p):
+            out = model16.apply(p, jbatch)
+            return jnp.where(gm, (out - y) ** 2, 0.0).sum()
+
+        t16 = time_fn(jax.jit(jax.grad(model_loss16)), params, iters=10)
+        log(f"full model fwd+bwd (bf16 conv stack): {t16 * 1e3:.2f} ms "
+            f"-> {G_real / t16:.1f} molecules/s")
     except Exception as exc:   # diagnostics must not break the headline
         log(f"full-model bench skipped: {exc}")
 
