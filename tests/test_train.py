@@ -189,3 +189,23 @@ def test_resume_does_not_clobber_best_checkpoint(make_molecule, rng,
     state2 = trainer.restore(str(wd / "ckpt_best"))
     val1 = trainer.evaluate(state2, trainer.val_idx)
     np.testing.assert_allclose(val1, val0, rtol=1e-6)
+
+
+def test_periodic_ckpt_and_auto_resume(make_molecule, rng, tmp_path):
+    """Elastic recovery: ckpt_last written every N epochs; a 'crashed'
+    run resumes from it and continues stepping (the reference has no
+    resume path at all, SURVEY §5)."""
+    import dataclasses
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    tcfg = dataclasses.replace(TINY_TRAIN, ckpt_after_epoch=0,
+                               ckpt_every=2)
+    wd = tmp_path / "elastic"
+    trainer = Trainer(X2GNN(TINY_MODEL), TINY_MODEL, tcfg, graphs,
+                      targets, workdir=str(wd))
+    trainer.fit(epochs=3)   # "crash" after epoch 3; ckpt_last @ epoch 2
+    assert (wd / "ckpt_last").is_dir()
+    state = trainer.restore(str(wd / "ckpt_last"))
+    steps_per_epoch = -(-len(trainer.train_idx) // tcfg.batch_size)
+    assert int(state.step) == 2 * steps_per_epoch
+    state2, _ = trainer.fit(epochs=2, state=state)
+    assert int(state2.step) == 4 * steps_per_epoch

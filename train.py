@@ -40,6 +40,12 @@ def parse_args(argv=None):
                    help="integral featurizer backend")
     p.add_argument("--cache-dir", default="./processed")
     p.add_argument("--resume", default=None, help="checkpoint to resume")
+    p.add_argument("--ckpt-every", type=int, default=None,
+                   help="write workdir/ckpt_last every N epochs for "
+                        "elastic recovery (0 = off)")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from workdir/ckpt_last if present "
+                        "(crash-restart loops can always pass this)")
     p.add_argument("--ckpt-after-epoch", type=int, default=None,
                    help="write best-val checkpoints only after this epoch "
                         "(reference gates at 100, trainer.py:95)")
@@ -105,6 +111,8 @@ def main(argv=None):
                                    ckpt_after_epoch=args.ckpt_after_epoch)
     if args.batch_size is not None:
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
+    if args.ckpt_every is not None:
+        tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
 
     # model dispatch by target family (train_ema.py:41-44)
     readout = ("atomwise" if tcfg.target in EXTENSIVE_TARGETS
@@ -175,9 +183,13 @@ def main(argv=None):
     dump_configs(mcfg, tcfg, os.path.join(args.workdir, "args.json"))
 
     state = None
-    if args.resume:
-        state = trainer.restore(args.resume)
-        print(f"resumed from {args.resume} at step "
+    resume_from = args.resume
+    if (resume_from is None and args.auto_resume
+            and os.path.isdir(os.path.join(args.workdir, "ckpt_last"))):
+        resume_from = os.path.join(args.workdir, "ckpt_last")
+    if resume_from:
+        state = trainer.restore(resume_from)
+        print(f"resumed from {resume_from} at step "
               f"{int(state.step)}", file=sys.stderr)
 
     if args.check_determinism:

@@ -82,6 +82,10 @@ class TrainConfig:
     loss: str = "smooth_l1"               # trainer.py:41
     eval_on_ema: bool = True              # trainer.py:57
     ckpt_after_epoch: int = 100           # trainer.py:95
+    # periodic last-state checkpoint (ckpt_last) every N epochs for
+    # elastic recovery; 0 disables. No reference equivalent (the
+    # reference can only save best-val and cannot resume at all).
+    ckpt_every: int = 0
 
     # static batch padding budgets (TPU-specific; no reference equivalent).
     # Defaults fit QM9 at batch_size 32 with the 5 A cutoff.

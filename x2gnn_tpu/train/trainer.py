@@ -279,6 +279,13 @@ class Trainer:
                         os.path.join(self.workdir, "ckpt_best"), state)
                     with open(best_meta, "w") as f:
                         json.dump({"best_val_mae": float(best_val)}, f)
+            if (self.tcfg.ckpt_every
+                    and (epoch + 1) % self.tcfg.ckpt_every == 0):
+                # periodic last-state checkpoint for elastic recovery
+                # (crash -> resume from here, best-val gate re-seeded
+                # from ckpt_best_val.json)
+                save_checkpoint(
+                    os.path.join(self.workdir, "ckpt_last"), state)
             seconds = time.time() - t0
             n_train = len(self.train_idx)
             steps = -(-n_train // self.tcfg.batch_size)
