@@ -185,7 +185,10 @@ class Trainer:
         it = batch_iterator(graphs, self.tcfg.batch_size,
                             budgets=self.budgets, targets=targets)
         if self._batch_cache is None:
-            return it
+            # large datasets: overlap host batch assembly with device
+            # compute (the cache path below makes this moot)
+            from x2gnn_tpu.data.prefetch import prefetch
+            return prefetch(it, depth=2)
         # cache DEVICE-resident batches: each batch is host->device
         # transferred exactly once per run. Re-transferring numpy batches
         # every step leaks host memory on the remote-TPU backend (a
