@@ -20,3 +20,18 @@ Design principles (what makes it TPU-native, not a port):
 __version__ = "0.1.0"
 
 from x2gnn_tpu.config import ModelConfig, TrainConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax/flax at package
+    # import time — the data pipeline is usable without an accelerator)
+    if name == "X2GNN":
+        from x2gnn_tpu.models import X2GNN
+        return X2GNN
+    if name == "Predictor":
+        from x2gnn_tpu.infer import Predictor
+        return Predictor
+    if name == "Trainer":
+        from x2gnn_tpu.train.trainer import Trainer
+        return Trainer
+    raise AttributeError(f"module 'x2gnn_tpu' has no attribute {name!r}")
