@@ -27,24 +27,50 @@ def test_prefetch_reraises_producer_exception():
         list(it)
 
 
-def test_prefetch_overlaps_production():
-    """With depth 2, the producer works ahead while the consumer is busy:
-    total wall time ~ max(produce, consume), not their sum."""
-    def slow_gen(n=6, dt=0.05):
+def test_prefetch_works_ahead():
+    """With depth 2, the producer runs ahead of consumption: after the
+    consumer takes the first item, more items get produced in the
+    background without further q.get calls (event-based, no wall-clock
+    comparison — this host is easily starved)."""
+    produced = []
+
+    def gen(n=6):
         for i in range(n):
-            time.sleep(dt)
+            produced.append(i)
             yield i
 
-    t0 = time.perf_counter()
-    for _ in prefetch(slow_gen(), depth=2):
-        time.sleep(0.05)            # consumer work
-    overlapped = time.perf_counter() - t0
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    deadline = time.time() + 10.0
+    # item 0 consumed; depth-2 queue lets the producer reach item >= 2
+    while len(produced) < 3 and time.time() < deadline:
+        time.sleep(0.01)
+    assert len(produced) >= 3, produced
+    assert list(it) == [1, 2, 3, 4, 5]
 
-    t0 = time.perf_counter()
-    for _ in slow_gen():
-        time.sleep(0.05)
-    serial = time.perf_counter() - t0
-    assert overlapped < serial * 0.85, (overlapped, serial)
+
+def test_prefetch_abandonment_cancels_producer():
+    """Dropping the iterator early must release the producer thread
+    (no permanently parked q.put)."""
+    import threading
+    started = threading.active_count()
+    finished = threading.Event()
+
+    def gen():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            finished.set()
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()                      # abandon mid-stream (GeneratorExit)
+    assert finished.wait(timeout=10.0), "producer thread never released"
+    deadline = time.time() + 10.0
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= started
 
 
 def test_trainer_uncached_path_uses_prefetch(make_molecule, rng, tmp_path):

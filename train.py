@@ -92,7 +92,7 @@ def main(argv=None):
     args = parse_args(argv)
     _enable_compile_cache()
     from x2gnn_tpu.config import (
-        ModelConfig, TrainConfig, load_configs, dump_configs)
+        ModelConfig, TrainConfig, load_configs)
     from x2gnn_tpu.data.molecule import (
         EXTENSIVE_TARGETS, report_calibration)
     from x2gnn_tpu.models import X2GNN
@@ -180,7 +180,8 @@ def main(argv=None):
                       workdir=args.workdir, std=std, mesh=mesh,
                       edge_partition=args.edge_partition)
     os.makedirs(args.workdir, exist_ok=True)
-    dump_configs(mcfg, tcfg, os.path.join(args.workdir, "args.json"))
+    # args.json is archived by Trainer.fit (the copy Predictor.from_run
+    # reads) — no duplicate write here
 
     state = None
     resume_from = args.resume

@@ -25,25 +25,48 @@ _SENTINEL = object()
 def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Yield from `it`, produced in a background daemon thread up to
     `depth` items ahead. Exceptions in the producer are re-raised at the
-    consuming call site."""
+    consuming call site. Abandoning the iterator (early break, exception
+    in the consumer, garbage collection) cancels the producer: the worker
+    polls a stop event between puts instead of blocking forever, so no
+    thread or buffered batch outlives the consumer."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """put() that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as exc:    # re-raise on the consumer side
-            q.put((_SENTINEL, exc))
+            _put((_SENTINEL, exc))
             return
-        q.put((_SENTINEL, None))
+        _put((_SENTINEL, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 \
-                and item[0] is _SENTINEL:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _SENTINEL:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():            # unblock a parked producer
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -72,14 +72,12 @@ class Predictor:
     """Batched inference over a trained X2GNN checkpoint."""
 
     def __init__(self, model_cfg: ModelConfig, params: Any,
-                 std: float = 1.0, stats: Optional[dict] = None,
-                 batch_size: int = 32):
+                 stats: Optional[dict] = None, batch_size: int = 32):
         import jax
         from x2gnn_tpu.models import X2GNN
         self.mcfg = model_cfg
         self.model = X2GNN(model_cfg)
         self.params = params
-        self.std = std                  # report-unit calibration
         self.stats = stats              # {"mu": ..., "sigma": ...} or None
         self.batch_size = batch_size
         self._apply = jax.jit(self.model.apply)
@@ -110,8 +108,18 @@ class Predictor:
         if os.path.exists(stats_path):
             with open(stats_path) as f:
                 stats = json.load(f)
-        return cls.from_checkpoint(os.path.join(workdir, "ckpt_best"),
-                                   model_cfg=mcfg, use_ema=use_ema,
+        # ckpt_best only exists after TrainConfig.ckpt_after_epoch
+        # (default 100); fall back to the periodic ckpt_last
+        ckpt = os.path.join(workdir, "ckpt_best")
+        if not os.path.isdir(ckpt):
+            last = os.path.join(workdir, "ckpt_last")
+            if not os.path.isdir(last):
+                raise FileNotFoundError(
+                    f"no checkpoint in {workdir}: neither ckpt_best "
+                    "(written after ckpt_after_epoch on val improvement) "
+                    "nor ckpt_last (TrainConfig.ckpt_every) exists")
+            ckpt = last
+        return cls.from_checkpoint(ckpt, model_cfg=mcfg, use_ema=use_ema,
                                    stats=stats, **kw)
 
     # ---- prediction ---------------------------------------------------

@@ -31,7 +31,7 @@ import flax.linen as nn
 from x2gnn_tpu.nn.init import glorot_orthogonal
 from x2gnn_tpu.nn.layers import TorchDense
 from x2gnn_tpu.ops.attention import (
-    blocked_attention, padded_attention, segment_attention)
+    beta_gate, blocked_attention, padded_attention, segment_attention)
 from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
 
 
@@ -137,10 +137,8 @@ class EdgeAttentionConv(nn.Module):
         if self.use_beta:
             # beta-gated skip (sbftransformer_conv.py:122-125; defined by
             # the reference but beta=False in every model use)
-            beta = jax.nn.sigmoid(TorchDense(
-                1, use_bias=False, name="lin_beta")(
-                    jnp.concatenate([out, skip, out - skip], axis=-1)))
-            out = beta * skip + (1.0 - beta) * out
+            out = beta_gate(out, skip,
+                            TorchDense(1, use_bias=False, name="lin_beta"))
         else:
             out = out + skip
         if return_attention_weights:
@@ -272,10 +270,8 @@ class BlockedEdgeAttentionConv(nn.Module):
                 cbf, pair_mask).reshape(N, D, self.channels)
         skip = TorchDense(self.channels, name="lin_skip")(x_dst)
         if self.use_beta:
-            beta = jax.nn.sigmoid(TorchDense(
-                1, use_bias=False, name="lin_beta")(
-                    jnp.concatenate([out, skip, out - skip], axis=-1)))
-            out = beta * skip + (1.0 - beta) * out
+            out = beta_gate(out, skip,
+                            TorchDense(1, use_bias=False, name="lin_beta"))
         else:
             out = out + skip
         return out

@@ -166,3 +166,14 @@ def padded_attention(q, k, v, e, s, nbr_trip, nbr_src, nbr_mask):
     w = ex / denom                                        # (E, D, H)
     msg = v_n * s_n * w[..., None]                        # (E, D, H, C)
     return msg.sum(axis=1)
+
+
+def beta_gate(out, skip, lin_beta_apply):
+    """Beta-gated skip connection (sbftransformer_conv.py:122-125):
+    out = b*skip + (1-b)*out with b = sigmoid(lin_beta([out, skip,
+    out - skip])). Shared by all three conv implementations — the
+    layout-equivalence invariant requires them bit-identical.
+    `lin_beta_apply`: callable applying the bias-free (3C -> 1) linear."""
+    b = jax.nn.sigmoid(lin_beta_apply(
+        jnp.concatenate([out, skip, out - skip], axis=-1)))
+    return b * skip + (1.0 - b) * out

@@ -370,12 +370,11 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
         out = out.reshape(Nl, D, HC)
         skip = _lin(cp["lin_skip"], x_blk)
         if cfg.beta:
-            # beta-gated skip (sbftransformer_conv.py:122-125) — purely
-            # row-local, so no extra communication in the EP layout
-            bg = jax.nn.sigmoid(_lin(
-                cp["lin_beta"],
-                jnp.concatenate([out, skip, out - skip], axis=-1)))
-            return bg * skip + (1.0 - bg) * out
+            # beta-gated skip — purely row-local, so no extra
+            # communication in the EP layout
+            from x2gnn_tpu.ops.attention import beta_gate
+            return beta_gate(out, skip,
+                             lambda h: _lin(cp["lin_beta"], h))
         return out + skip
 
     out = neo_x

@@ -257,10 +257,13 @@ class Trainer:
             # value of the existing ckpt_best if present (the gate guards
             # THAT artifact), else the restored weights' own val MAE
             best_val = self.evaluate(state, self.val_idx)
-            if os.path.exists(best_meta):
+            try:
                 with open(best_meta) as f:
                     best_val = min(best_val,
                                    float(json.load(f)["best_val_mae"]))
+            except (FileNotFoundError, ValueError, KeyError,
+                    json.JSONDecodeError):
+                pass   # absent or torn file: fall back to the eval seed
         for epoch in range(epochs):
             t0 = time.time()
             if profile_dir is not None and epoch == 1:
@@ -280,8 +283,12 @@ class Trainer:
                     test_err = self.evaluate(state, self.test_idx)
                     save_checkpoint(
                         os.path.join(self.workdir, "ckpt_best"), state)
-                    with open(best_meta, "w") as f:
+                    # atomic write: a crash mid-dump must not leave a torn
+                    # file that wedges the --auto-resume restart loop
+                    tmp = best_meta + ".tmp"
+                    with open(tmp, "w") as f:
                         json.dump({"best_val_mae": float(best_val)}, f)
+                    os.replace(tmp, best_meta)
             if (self.tcfg.ckpt_every
                     and (epoch + 1) % self.tcfg.ckpt_every == 0):
                 # periodic last-state checkpoint for elastic recovery
