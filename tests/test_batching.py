@@ -17,8 +17,12 @@ def _graphs(make_molecule, k=5):
 
 
 def test_pad_graphs_offsets(make_molecule):
+    """Concatenation-order layout — holds when the two-tier degree split
+    is disabled (the split relabels atoms by descending degree; see
+    test_pad_graphs_degree_sort_is_pure_relabeling for that contract)."""
     gs = _graphs(make_molecule, 3)
-    b = pad_graphs(gs, pad_budget_for(gs, batch_size=3))
+    budgets = pad_budget_for(gs, batch_size=3)._replace(n_deg_lo=0, n_hi=0)
+    b = pad_graphs(gs, budgets)
     a0 = e0 = 0
     for gid, g in enumerate(gs):
         na, ne, nt = g.num_atoms, g.num_edges, g.num_triplets
@@ -78,3 +82,37 @@ def test_batch_iterator_targets_override(make_molecule):
     batches = list(batch_iterator(gs, batch_size=2, targets=targets))
     np.testing.assert_allclose(batches[0].y[:2], [0.0, 10.0])
     np.testing.assert_allclose(batches[1].y[:2], [20.0, 30.0])
+
+
+def test_pad_graphs_degree_sort_is_pure_relabeling(make_molecule):
+    """With the two-tier split active, atoms are relabeled by descending
+    degree. The relabeling must be pure: same per-graph atom multisets,
+    every edge maps to the same (Z_src, Z_dst, distance) endpoints, and
+    rows >= n_hi in the blocked table have degree <= d_lo."""
+    gs = _graphs(make_molecule, 4)
+    budgets = pad_budget_for(gs, batch_size=4)
+    plain = pad_graphs(gs, budgets._replace(n_deg_lo=0, n_hi=0))
+    b = pad_graphs(gs, budgets)
+    if budgets.n_hi == 0:   # split disabled for this composition
+        pytest.skip("degree split not active for these molecules")
+
+    # per-graph atom multisets preserved
+    for gid in range(len(gs)):
+        np.testing.assert_array_equal(
+            np.sort(b.numbers[(b.atom_gid == gid) & b.node_mask]),
+            np.sort(gs[gid].numbers))
+    # edges carry identical endpoint content (compare as multisets of
+    # (gid, Z_src, Z_dst, quantized distance) tuples)
+    def edge_set(bb):
+        d = np.linalg.norm(bb.positions[bb.edge_src]
+                           - bb.positions[bb.edge_dst], axis=1)
+        em = bb.edge_mask
+        rows = np.stack([bb.edge_gid[em], bb.numbers[bb.edge_src[em]],
+                         bb.numbers[bb.edge_dst[em]],
+                         np.round(d[em] * 1e5).astype(np.int64)])
+        return sorted(map(tuple, rows.T))
+    assert edge_set(b) == edge_set(plain)
+    # two-tier guarantee: rows >= n_hi have degree <= d_lo
+    deg = np.maximum(b.in_mask.sum(1), b.out_mask.sum(1))
+    assert (deg[b.n_hi:] <= b.d_lo).all()
+    assert b.n_hi == budgets.n_hi and b.d_lo == budgets.n_deg_lo
