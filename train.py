@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard molecules over all local devices")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--max-lr", type=float, default=None)
+    p.add_argument("--warmup-steps", type=int, default=None)
+    p.add_argument("--ema-decay", type=float, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of epoch 2 here")
     p.add_argument("--edge-partition", choices=["allgather", "ring"],
@@ -113,6 +116,10 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     if args.ckpt_every is not None:
         tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
+    for field in ("max_lr", "warmup_steps", "ema_decay"):
+        v = getattr(args, field)
+        if v is not None:
+            tcfg = dataclasses.replace(tcfg, **{field: v})
 
     # model dispatch by target family (train_ema.py:41-44)
     readout = ("atomwise" if tcfg.target in EXTENSIVE_TARGETS
