@@ -116,3 +116,43 @@ def test_pad_graphs_degree_sort_is_pure_relabeling(make_molecule):
     deg = np.maximum(b.in_mask.sum(1), b.out_mask.sum(1))
     assert (deg[b.n_hi:] <= b.d_lo).all()
     assert b.n_hi == budgets.n_hi and b.d_lo == budgets.n_deg_lo
+
+
+def test_pad_graphs_without_triplets(make_molecule):
+    """with_triplets=False: trip_*/nbr_* emitted empty; everything the
+    blocked layout reads is identical to the full batch."""
+    gs = _graphs(make_molecule, 3)
+    budgets = pad_budget_for(gs, batch_size=3)
+    full = pad_graphs(gs, budgets)
+    lean = pad_graphs(gs, budgets, with_triplets=False)
+    assert lean.trip_src_edge.shape == (0,)
+    assert lean.trip_mask.shape == (0,)
+    assert lean.nbr_trip.shape[0] == 0
+    for f in ("numbers", "positions", "edge_src", "edge_dst", "edge_feat",
+              "atom_gid", "edge_gid", "node_mask", "edge_mask", "y",
+              "graph_mask", "in_edges", "in_mask", "out_edges", "out_mask",
+              "edge_inpos", "edge_outpos"):
+        np.testing.assert_array_equal(getattr(lean, f), getattr(full, f),
+                                      err_msg=f)
+    assert lean.n_hi == full.n_hi and lean.d_lo == full.d_lo
+
+
+def test_blocked_model_runs_without_triplets(make_molecule):
+    """The blocked X2GNN forward works on a triplet-free batch and matches
+    the full-batch output (serving fast path)."""
+    import jax
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.models import X2GNN
+    gs = _graphs(make_molecule, 3)
+    budgets = pad_budget_for(gs, batch_size=3)
+    full = pad_graphs(gs, budgets)
+    lean = pad_graphs(gs, budgets, with_triplets=False)
+    cfg = ModelConfig(conv_layers=2, in_channels=32, embedding_size=32,
+                      heads=4, sbf_dim=3, rbf_dim=4,
+                      edge_feat_dim=gs[0].edge_feat.shape[1],
+                      attention_layout="blocked", use_pallas=False)
+    model = X2GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), lean)
+    np.testing.assert_allclose(np.asarray(model.apply(params, lean)),
+                               np.asarray(model.apply(params, full)),
+                               rtol=1e-6)

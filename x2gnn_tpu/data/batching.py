@@ -163,12 +163,22 @@ def pad_graphs(
     budgets: Union[Budgets, Tuple[int, int, int], Tuple[int, int, int, int]],
     n_graph: Optional[int] = None,
     targets: Optional[np.ndarray] = None,
+    with_triplets: bool = True,
 ) -> GraphBatch:
     """Concatenate molecules and pad to static budgets.
 
     `budgets` is a Budgets tuple (or a 3/4-tuple; with 3 elements the
     neighbor-table width is derived from these graphs). `targets` optionally
     overrides per-graph scalar targets (shape (G,)); otherwise `g.y[0]`.
+
+    `with_triplets=False` skips the per-triplet arrays (trip_*) and the
+    padded-layout neighbor tables (nbr_*), emitting them with zero-length
+    leading axes. The blocked attention layout never reads them — it works
+    entirely off the atom in/out tables — and at serving time their host
+    assembly + device transfer dominates the request latency (the nbr
+    tables alone are E*D int32 each). Only valid for blocked-layout
+    consumers; all batches of a run must use the same setting (static
+    shapes).
     """
     if len(budgets) == 3:
         deg = max((_max_degree(g) for g in graphs), default=1)
@@ -193,11 +203,12 @@ def pad_graphs(
     edge_src = np.zeros(n_edge, dtype=np.int32)
     edge_dst = np.zeros(n_edge, dtype=np.int32)
     edge_feat = np.zeros((n_edge, feat_dim), dtype=np.float32)
-    trip_src_edge = np.zeros(n_trip, dtype=np.int32)
-    trip_dst_edge = np.zeros(n_trip, dtype=np.int32)
-    trip_j = np.zeros(n_trip, dtype=np.int32)
-    trip_i = np.zeros(n_trip, dtype=np.int32)
-    trip_k = np.zeros(n_trip, dtype=np.int32)
+    n_trip_alloc = n_trip if with_triplets else 0
+    trip_src_edge = np.zeros(n_trip_alloc, dtype=np.int32)
+    trip_dst_edge = np.zeros(n_trip_alloc, dtype=np.int32)
+    trip_j = np.zeros(n_trip_alloc, dtype=np.int32)
+    trip_i = np.zeros(n_trip_alloc, dtype=np.int32)
+    trip_k = np.zeros(n_trip_alloc, dtype=np.int32)
     atom_gid = np.zeros(n_node, dtype=np.int32)
     edge_gid = np.zeros(n_edge, dtype=np.int32)
     y = np.zeros(n_graph, dtype=np.float32)
@@ -210,11 +221,12 @@ def pad_graphs(
         edge_src[e0:e0 + ne] = g.edge_index[0] + a0
         edge_dst[e0:e0 + ne] = g.edge_index[1] + a0
         edge_feat[e0:e0 + ne] = g.edge_feat
-        trip_src_edge[t0:t0 + nt] = g.triplet_index[0] + e0
-        trip_dst_edge[t0:t0 + nt] = g.triplet_index[1] + e0
-        trip_j[t0:t0 + nt] = g.atom_j + a0
-        trip_i[t0:t0 + nt] = g.atom_i + a0
-        trip_k[t0:t0 + nt] = g.atom_k + a0
+        if with_triplets:
+            trip_src_edge[t0:t0 + nt] = g.triplet_index[0] + e0
+            trip_dst_edge[t0:t0 + nt] = g.triplet_index[1] + e0
+            trip_j[t0:t0 + nt] = g.atom_j + a0
+            trip_i[t0:t0 + nt] = g.atom_i + a0
+            trip_k[t0:t0 + nt] = g.atom_k + a0
         atom_gid[a0:a0 + na] = gid
         edge_gid[e0:e0 + ne] = gid
         y[gid] = targets[gid] if targets is not None else g.y[0]
@@ -244,23 +256,25 @@ def pad_graphs(
         atom_gid = atom_gid[perm]
         edge_src[:e0] = inv[edge_src[:e0]]
         edge_dst[:e0] = inv[edge_dst[:e0]]
-        trip_i[:t0] = inv[trip_i[:t0]]
-        trip_j[:t0] = inv[trip_j[:t0]]
-        trip_k[:t0] = inv[trip_k[:t0]]
+        if with_triplets:
+            trip_i[:t0] = inv[trip_i[:t0]]
+            trip_j[:t0] = inv[trip_j[:t0]]
+            trip_k[:t0] = inv[trip_k[:t0]]
     else:
         d_lo = n_hi_budget = 0
 
     node_mask = np.arange(n_node) < a0
     edge_mask = np.arange(n_edge) < e0
-    trip_mask = np.arange(n_trip) < t0
+    trip_mask = np.arange(n_trip_alloc) < t0
     graph_mask = np.arange(n_graph) < len(graphs)
 
     # --- neighbor tables: triplets grouped by destination edge ---
     # trip_dst_edge[:t0] is globally nondecreasing (dst-sorted per graph +
     # increasing graph offsets), so each segment occupies contiguous slots.
-    nbr_trip = np.zeros((n_edge, n_deg), dtype=np.int32)
-    nbr_mask = np.zeros((n_edge, n_deg), dtype=bool)
-    if t0 > 0:
+    n_edge_nbr = n_edge if with_triplets else 0
+    nbr_trip = np.zeros((n_edge_nbr, n_deg), dtype=np.int32)
+    nbr_mask = np.zeros((n_edge_nbr, n_deg), dtype=bool)
+    if t0 > 0 and with_triplets:
         dsts = trip_dst_edge[:t0]
         counts = np.bincount(dsts, minlength=n_edge)
         max_deg = int(counts.max())
@@ -329,6 +343,7 @@ def batch_iterator(
     budgets: Optional[Budgets] = None,
     targets: Optional[np.ndarray] = None,
     drop_last: bool = False,
+    with_triplets: bool = True,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches over `graphs` in order.
 
@@ -348,5 +363,5 @@ def batch_iterator(
         sub_targets = None
         if targets is not None:
             sub_targets = np.asarray(targets[lo:lo + len(chunk)])
-        yield pad_graphs(chunk, budgets,
-                         n_graph=batch_size, targets=sub_targets)
+        yield pad_graphs(chunk, budgets, n_graph=batch_size,
+                         targets=sub_targets, with_triplets=with_triplets)

@@ -129,8 +129,12 @@ class Predictor:
         MolGraphs, in input order."""
         bs = batch_size or self.batch_size
         budgets = quantize_budgets(pad_budget_for(graphs, bs))
+        # blocked layout never reads the triplet/neighbor arrays; skipping
+        # them cuts request latency (host assembly + device transfer)
+        with_trip = self.mcfg.attention_layout != "blocked"
         out = []
-        for batch in batch_iterator(graphs, bs, budgets=budgets):
+        for batch in batch_iterator(graphs, bs, budgets=budgets,
+                                    with_triplets=with_trip):
             pred = np.asarray(self._apply(self.params, batch))
             keep = np.asarray(batch.graph_mask).astype(bool)
             out.append(pred[keep])
