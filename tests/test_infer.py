@@ -100,3 +100,12 @@ def test_load_run_configs_reference_schema(tmp_path):
     mcfg, tcfg = load_run_configs(str(p))
     assert mcfg.embedding_size == 32 and mcfg.conv_layers == 2
     assert tcfg.batch_size == 16
+
+
+def test_packed_transfer_matches_default(make_molecule, rng, tmp_path):
+    """packed_transfer=True (two-buffer request shipping) must produce
+    identical predictions to the default per-array path."""
+    trainer, graphs, wd = _trained_run(make_molecule, rng, tmp_path)
+    base = Predictor.from_run(wd).predict(graphs)
+    packed = Predictor.from_run(wd, packed_transfer=True).predict(graphs)
+    np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-7)
