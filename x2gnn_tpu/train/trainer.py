@@ -69,6 +69,9 @@ class Trainer:
         ACTIVATIONS of each batched graph across the mesh instead of
         sharding molecules (parallel/ep_model.py) — for graphs larger
         than one chip's memory. Mutually exclusive with plain DP.
+        If the mesh also has a 'dp' axis (parallel/hybrid.py's
+        make_hybrid_mesh), both compose: molecule groups over 'dp',
+        each group edge-partitioned over 'data'.
 
         `cache_batches`: keep padded batches across epochs (the split
         order is fixed, trainer.py:22-27, so batches are identical every
@@ -97,7 +100,25 @@ class Trainer:
 
         self.mesh = mesh
         self.edge_partition = edge_partition
-        if mesh is not None and edge_partition is not None:
+        self._hybrid = (mesh is not None and edge_partition is not None
+                        and "dp" in getattr(mesh, "axis_names", ()))
+        if self._hybrid:
+            # hybrid DP x EP: molecule groups over the 'dp' axis, each
+            # group's graph edge-partitioned over 'data' (parallel/hybrid.py)
+            from x2gnn_tpu.parallel.hybrid import (
+                make_hybrid_train_step, make_hybrid_eval_step)
+            self._dp = int(mesh.shape["dp"])
+            self._ep = int(mesh.shape["data"])
+            self.n_dev = self._dp * self._ep
+            n_pad = -(-self.budgets[0] // self._ep) * self._ep
+            self._ep_atoms = n_pad
+            self._train_step = make_hybrid_train_step(
+                model_cfg, self.optimizer, train_cfg.ema_decay, mesh,
+                n_pad, kv_exchange=edge_partition)
+            self._eval_step = make_hybrid_eval_step(
+                model_cfg, mesh, n_pad, std=std,
+                kv_exchange=edge_partition)
+        elif mesh is not None and edge_partition is not None:
             from x2gnn_tpu.parallel.ep_model import (
                 make_ep_forward, make_ep_train_step)
             self.n_dev = int(mesh.devices.size)
@@ -204,6 +225,29 @@ class Trainer:
         batches = self._batches(idx)
         if self.mesh is None:
             return batches
+        if self._hybrid:
+            from x2gnn_tpu.parallel.data_parallel import empty_like_batch
+            from x2gnn_tpu.parallel.ep_model import make_ep_batch
+            from x2gnn_tpu.parallel.hybrid import (
+                stack_ep_batches, shard_hybrid_batch)
+
+            def groups():
+                chunk = []
+                for b in batches:
+                    chunk.append(b)
+                    if len(chunk) == self._dp:
+                        yield chunk
+                        chunk = []
+                if chunk:
+                    # pad the last step with all-masked batches so every
+                    # dp shard gets a group (loss/MAE masks ignore them)
+                    filler = empty_like_batch(chunk[0])
+                    chunk += [filler] * (self._dp - len(chunk))
+                    yield chunk
+
+            return (shard_hybrid_batch(stack_ep_batches(
+                        [make_ep_batch(b, self._ep) for b in g]), self.mesh)
+                    for g in groups())
         if self.edge_partition is not None:
             from x2gnn_tpu.parallel.ep_model import (
                 make_ep_batch, shard_ep_batch)
