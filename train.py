@@ -62,6 +62,10 @@ def parse_args(argv=None):
                    help="shard each batched graph's ACTIVATIONS over the "
                         "device mesh (graphs larger than one chip); "
                         "'ring' exchanges K/V shard-by-shard via ppermute")
+    p.add_argument("--dp-groups", type=int, default=0,
+                   help="with --edge-partition: hybrid DP x EP — shard "
+                        "this many molecule groups over a 'dp' mesh axis, "
+                        "edge-partitioning each group over the rest")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default=None,
                    help="conv-stack compute dtype (params stay f32; "
@@ -169,12 +173,26 @@ def main(argv=None):
             json.dump({"mu": mu, "sigma": sigma}, f)
 
     mesh = None
+    if args.dp_groups and not args.edge_partition:
+        print("--dp-groups requires --edge-partition", file=sys.stderr)
+        sys.exit(2)
     if args.data_parallel or args.edge_partition:
         import jax
         from x2gnn_tpu.parallel import make_mesh
-        mesh = make_mesh()
-        mode = (f"edge partitioning ({args.edge_partition})"
-                if args.edge_partition else "data parallel")
+        if args.dp_groups:
+            from x2gnn_tpu.parallel import make_hybrid_mesh
+            n = jax.device_count()
+            if n % args.dp_groups:
+                print(f"--dp-groups {args.dp_groups} does not divide "
+                      f"{n} devices", file=sys.stderr)
+                sys.exit(2)
+            mesh = make_hybrid_mesh(args.dp_groups, n // args.dp_groups)
+            mode = (f"hybrid DP x EP ({args.dp_groups} groups x "
+                    f"{n // args.dp_groups}-way {args.edge_partition})")
+        else:
+            mesh = make_mesh()
+            mode = (f"edge partitioning ({args.edge_partition})"
+                    if args.edge_partition else "data parallel")
         print(f"{mode} over {jax.device_count()} devices",
               file=sys.stderr)
     if args.edge_partition and args.layout != "blocked":
