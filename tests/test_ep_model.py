@@ -167,3 +167,23 @@ def test_trainer_edge_partition_mode(tmp_path):
     losses = [json.loads(l)["loss"] for l in
               open(tmp_path / "ep_run" / "metrics.jsonl")]
     assert losses[-1] < losses[0]
+
+
+def test_ep_remat_gradients_match():
+    """cfg.remat under edge partitioning (recompute the gathered K/V +
+    conv in the backward) must not change parameter gradients."""
+    cfg, model, params, batch, epb, epbs, mesh = _setup()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    N = epb.numbers.shape[0]
+    gm, y = jnp.asarray(batch.graph_mask), jnp.asarray(batch.y)
+
+    def loss(fwd):
+        return lambda p: jnp.where(gm, (fwd(p, epbs) - y) ** 2, 0.0).sum()
+
+    for kv in ("allgather", "ring"):
+        g0 = jax.grad(loss(make_ep_forward(cfg, mesh, N, kv)))(params)
+        g1 = jax.grad(loss(make_ep_forward(cfg_r, mesh, N, kv)))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-5)

@@ -108,3 +108,33 @@ def test_jit_forward(model, make_molecule, rng):
     eager = np.asarray(model.apply(params, batch))
     jitted = np.asarray(jax.jit(model.apply)(params, batch))
     np.testing.assert_allclose(eager, jitted, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("layout", ["segment", "blocked"])
+def test_remat_matches_no_remat(layout, make_molecule, rng):
+    """cfg.remat recomputes the conv in the backward pass — outputs and
+    parameter gradients must be identical to the stored-activation path."""
+    import dataclasses
+    gs = _graphs(make_molecule, 3, rng)
+    batch = pad_graphs(gs, pad_budget_for(gs, 3))
+    cfg = dataclasses.replace(CFG, attention_layout=layout,
+                              use_pallas=False)
+    m0 = X2GNN(cfg)
+    m1 = X2GNN(dataclasses.replace(cfg, remat=True))
+    params = m0.init(jax.random.PRNGKey(0), batch)
+    # compare in f64 (conftest enables x64): f32 leaves with heavy
+    # cancellation amplify the reduction-order differences remat's
+    # recompute introduces, hiding real bugs behind loose tolerances
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64), params)
+
+    def loss(m):
+        return lambda p: (m.apply(p, batch) ** 2).sum()
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-9)

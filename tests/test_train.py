@@ -209,3 +209,35 @@ def test_periodic_ckpt_and_auto_resume(make_molecule, rng, tmp_path):
     assert int(state.step) == 2 * steps_per_epoch
     state2, _ = trainer.fit(epochs=2, state=state)
     assert int(state2.step) == 4 * steps_per_epoch
+
+
+def test_gradient_accumulation_multisteps():
+    """accum_steps=k: params move only every k-th micro-batch, by the
+    k-microbatch AVERAGE gradient (optax.MultiSteps semantics)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from x2gnn_tpu.config import TrainConfig
+    from x2gnn_tpu.train.optim import make_optimizer
+
+    base = TrainConfig(warmup_steps=1, max_lr=1e-2, grad_clip=False)
+    cfg = dataclasses.replace(base, accum_steps=2)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones(3)}
+    st = opt.init(params)
+    g1 = {"w": jnp.array([1.0, 2.0, 3.0])}
+    g2 = {"w": jnp.array([3.0, 2.0, 1.0])}
+
+    up1, st = opt.update(g1, st, params)
+    assert float(jnp.abs(up1["w"]).max()) == 0.0    # accumulating
+    up2, st = opt.update(g2, st, params)
+    assert float(jnp.abs(up2["w"]).max()) > 0.0     # applied
+
+    # equals one step of the un-accumulated optimizer on the mean grad
+    opt0 = make_optimizer(base)
+    st0 = opt0.init(params)
+    up_ref, _ = opt0.update(
+        jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2),
+        st0, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]),
+                               np.asarray(up_ref["w"]), rtol=1e-6)

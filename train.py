@@ -62,6 +62,12 @@ def parse_args(argv=None):
                    help="shard each batched graph's ACTIVATIONS over the "
                         "device mesh (graphs larger than one chip); "
                         "'ring' exchanges K/V shard-by-shard via ppermute")
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="gradient accumulation: apply the optimizer every "
+                        "N micro-batches (effective batch = N*batch_size)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize attention convs in the backward "
+                        "pass (O(1) activation memory across layers)")
     p.add_argument("--dp-groups", type=int, default=0,
                    help="with --edge-partition: hybrid DP x EP — shard "
                         "this many molecule groups over a 'dp' mesh axis, "
@@ -120,7 +126,7 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     if args.ckpt_every is not None:
         tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
-    for field in ("max_lr", "warmup_steps", "ema_decay"):
+    for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps"):
         v = getattr(args, field)
         if v is not None:
             tcfg = dataclasses.replace(tcfg, **{field: v})
@@ -132,6 +138,8 @@ def main(argv=None):
                                attention_layout=args.layout)
     if args.compute_dtype is not None:
         mcfg = dataclasses.replace(mcfg, compute_dtype=args.compute_dtype)
+    if args.remat:
+        mcfg = dataclasses.replace(mcfg, remat=True)
 
     if args.synthetic:
         from x2gnn_tpu.data.synthetic import synthetic_dataset

@@ -54,6 +54,11 @@ class ModelConfig:
     # edge_attr recomputed from aggregated atom representations, final
     # output divided by conv_layers.
     variant: str = "v1"
+    # rematerialize each attention conv in the backward pass
+    # (jax.checkpoint): activation memory for the dominant DxD pair /
+    # per-triplet tensors drops from O(conv_layers) to O(1) at the cost
+    # of one extra conv forward — for large molecules / degree budgets.
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -79,6 +84,10 @@ class TrainConfig:
     grad_clip: bool = True
     max_grad: float = 100.0
     ema_decay: float = 0.95
+    # gradient accumulation: apply the optimizer every N micro-batches
+    # (optax.MultiSteps) — effective batch = N * batch_size without the
+    # memory. 1 = off (reference behavior).
+    accum_steps: int = 1
     loss: str = "smooth_l1"               # trainer.py:41
     eval_on_ema: bool = True              # trainer.py:57
     ckpt_after_epoch: int = 100           # trainer.py:95

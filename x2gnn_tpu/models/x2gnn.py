@@ -220,30 +220,54 @@ class X2GNN(nn.Module):
                 h = edgenn(atoms_rep, tag=f"_{i}", width=cfg.in_channels)
                 edge_attr = h if blocked else h[batch.trip_j]
             if blocked:
-                out = BlockedEdgeAttentionConv(
+                conv = BlockedEdgeAttentionConv(
                     cfg.in_channels, cfg.heads,
                     sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
                     use_pallas=use_pallas, dtype=conv_dtype,
                     use_beta=cfg.beta,
-                    name=f"conv_{i}")(
-                        out.reshape(N_, D, cfg.in_channels),
-                        node_rbf, rbf_env_out, cbf, edge_attr,
-                        out2in, in2out_flat, batch.in_mask, pair_mask,
-                        z=z_cos, a_ids=a_ids, b_ids=b_ids,
-                        n_hi=batch.n_hi, d_lo=batch.d_lo)
+                    name=f"conv_{i}")
+
+                # With cfg.remat, the conv's internals (DxD pair scores,
+                # per-triplet messages) are recomputed in the backward
+                # pass instead of stored — O(layers) -> O(1) activation
+                # memory for the dominant tensors. Every traced array
+                # must be an EXPLICIT argument (closed-over tracers leak
+                # across the lifted-remat boundary under jit); only the
+                # static ints ride the closure.
+                def call_blocked(mdl, x, e_atom, nrbf, renv, cbf_, o2i,
+                                 i2o, imask, pmask, z_, aid, bid):
+                    return mdl(x, nrbf, renv, cbf_, e_atom, o2i, i2o,
+                               imask, pmask, z=z_, a_ids=aid, b_ids=bid,
+                               n_hi=batch.n_hi, d_lo=batch.d_lo)
+
+                if cfg.remat:
+                    call_blocked = nn.remat(call_blocked)
+                out = call_blocked(conv,
+                                   out.reshape(N_, D, cfg.in_channels),
+                                   edge_attr, node_rbf, rbf_env_out, cbf,
+                                   out2in, in2out_flat, batch.in_mask,
+                                   pair_mask, z_cos, a_ids, b_ids)
                 out = out.reshape(-1, cfg.in_channels).astype(jnp.float32)
             else:
-                out = EdgeAttentionConv(
+                conv = EdgeAttentionConv(
                     cfg.in_channels, cfg.heads, cfg.dropout,
                     layout=cfg.attention_layout, dtype=conv_dtype,
                     use_beta=cfg.beta,
-                    name=f"conv_{i}")(
-                        out, node_rbf, sbf, edge_attr,
-                        batch.trip_src_edge, batch.trip_dst_edge,
-                        trip_mask=trip_mask,
-                        nbr_trip=batch.nbr_trip, nbr_src=batch.nbr_src,
-                        nbr_mask=batch.nbr_mask,
-                        deterministic=deterministic)
+                    name=f"conv_{i}")
+
+                def call_conv(mdl, x, e_attr, nrbf, sbf_, tsrc, tdst,
+                              tmask, ntrip, nsrc, nmask):
+                    return mdl(x, nrbf, sbf_, e_attr, tsrc, tdst,
+                               trip_mask=tmask, nbr_trip=ntrip,
+                               nbr_src=nsrc, nbr_mask=nmask,
+                               deterministic=deterministic)
+
+                if cfg.remat:
+                    call_conv = nn.remat(call_conv)
+                out = call_conv(conv, out, edge_attr, node_rbf, sbf,
+                                batch.trip_src_edge, batch.trip_dst_edge,
+                                trip_mask, batch.nbr_trip, batch.nbr_src,
+                                batch.nbr_mask)
                 out = out.astype(jnp.float32)
             out = GraphLayerNorm(name=f"norm_{i}")(
                 out, gid_flat, num_graphs, mask=mask_flat)

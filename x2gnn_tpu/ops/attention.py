@@ -20,6 +20,13 @@ from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
 _NEG = -1e30
 
 
+def _int_zeros(x):
+    """Symbolic-zero cotangent for integer/bool primal args (the float0
+    convention custom_vjp requires)."""
+    return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
 def injective_gather(x, table, inv_pos, row_mask):
     """x[table] where `table` (N, D) lists each real row of x exactly once
     (pad slots point at row 0) and `inv_pos` (E,) gives each row's flat
@@ -30,50 +37,54 @@ def injective_gather(x, table, inv_pos, row_mask):
     `row_mask` (E,) marks real rows: pad rows' inv_pos points at slot 0
     (a real slot), so their backward reads must be masked out — without
     it, slot 0's cotangent would leak into pad-row gradients.
+
+    The index/mask operands are explicit custom_vjp arguments (threaded
+    through the residuals) rather than closure captures: a bwd that
+    closes over tracers leaks across jax.checkpoint/nn.remat tracing.
     """
-
-    @jax.custom_vjp
-    def run(x):
-        return x[table]
-
-    def fwd(x):
-        return x[table], ()
-
-    def bwd(_, g):
-        N, D = table.shape
-        flat = g.reshape((N * D,) + g.shape[2:])
-        out = flat[inv_pos]
-        m = row_mask.reshape(row_mask.shape + (1,) * (out.ndim - 1))
-        return (jnp.where(m, out, 0.0),)
-
-    run.defvjp(fwd, bwd)
-    return run(x)
+    return x[table]
 
 
+def _injective_gather_fwd(x, table, inv_pos, row_mask):
+    return x[table], (table.shape, inv_pos, row_mask)
+
+
+def _injective_gather_bwd(res, g):
+    (N, D), inv_pos, row_mask = res
+    flat = g.reshape((N * D,) + g.shape[2:])
+    out = flat[inv_pos]
+    m = row_mask.reshape(row_mask.shape + (1,) * (out.ndim - 1))
+    return (jnp.where(m, out, 0.0),
+            jnp.zeros((N, D), dtype=jax.dtypes.float0),
+            _int_zeros(inv_pos), _int_zeros(row_mask))
+
+
+injective_gather.defvjp(_injective_gather_fwd, _injective_gather_bwd)
+
+
+@jax.custom_vjp
 def blocked_to_edges(x_blk, pos, table, mask):
     """Inverse of injective_gather: read E edge rows out of a blocked
     (N, D, ...) array at flat slots `pos` (E,). Backward fills each
     blocked slot from its (unique) edge via `table` (N, D) + `mask` —
     again a gather, never a scatter."""
+    N, D = table.shape
+    return x_blk.reshape((N * D,) + x_blk.shape[2:])[pos]
 
-    def _apply(xb):
-        N, D = table.shape
-        return xb.reshape((N * D,) + xb.shape[2:])[pos]
 
-    @jax.custom_vjp
-    def run(xb):
-        return _apply(xb)
+def _blocked_to_edges_fwd(x_blk, pos, table, mask):
+    return blocked_to_edges(x_blk, pos, table, mask), (pos, table, mask)
 
-    def fwd(xb):
-        return _apply(xb), ()
 
-    def bwd(_, g):
-        blk = g[table]                       # (N, D, ...)
-        m = mask.reshape(mask.shape + (1,) * (blk.ndim - mask.ndim))
-        return (jnp.where(m, blk, 0.0),)
+def _blocked_to_edges_bwd(res, g):
+    pos, table, mask = res
+    blk = g[table]                           # (N, D, ...)
+    m = mask.reshape(mask.shape + (1,) * (blk.ndim - mask.ndim))
+    return (jnp.where(m, blk, 0.0), _int_zeros(pos), _int_zeros(table),
+            _int_zeros(mask))
 
-    run.defvjp(fwd, bwd)
-    return run(x_blk)
+
+blocked_to_edges.defvjp(_blocked_to_edges_fwd, _blocked_to_edges_bwd)
 
 
 def segment_attention(q, k, v, e, s, trip_src, trip_dst, trip_mask,

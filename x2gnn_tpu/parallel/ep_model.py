@@ -377,6 +377,14 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
                              lambda h: _lin(cp["lin_beta"], h))
         return out + skip
 
+    if cfg.remat:
+        # rematerialize each conv: the ALL-GATHERED K/V tables (the
+        # largest tensors in the EP layout — full-graph width) and the
+        # DxD pair scores are recomputed in the backward pass instead of
+        # stored. With kv_exchange='ring' this is the ring-attention
+        # memory profile: no layer ever persists a gathered table.
+        conv = jax.checkpoint(conv, static_argnums=(0,))
+
     out = neo_x
     results = run_readout(0, out)
     for i in range(cfg.conv_layers):

@@ -64,4 +64,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.grad_clip:
         steps.append(optax.clip_by_global_norm(cfg.max_grad))
     steps.append(optax.adam(learning_rate=schedule))
-    return optax.chain(*steps)
+    opt = optax.chain(*steps)
+    if getattr(cfg, "accum_steps", 1) > 1:
+        # gradient accumulation: updates are zero except every
+        # accum_steps-th micro-batch, where the AVERAGED gradient is
+        # applied — effective batch = accum_steps * batch_size
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_steps)
+    return opt
