@@ -241,3 +241,16 @@ def test_gradient_accumulation_multisteps():
         st0, params)
     np.testing.assert_allclose(np.asarray(up2["w"]),
                                np.asarray(up_ref["w"]), rtol=1e-6)
+
+
+def test_latest_checkpoint_handles_named_and_numeric(tmp_path):
+    from x2gnn_tpu.train.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+    (tmp_path / "ckpt_best").mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_best")
+    (tmp_path / "ckpt_5").mkdir()
+    (tmp_path / "ckpt_40").mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_40")
+    (tmp_path / "ckpt_last").mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_last")

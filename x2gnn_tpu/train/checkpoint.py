@@ -34,11 +34,26 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
 
 
 def latest_checkpoint(workdir: str) -> Optional[str]:
-    """Most recent checkpoint dir under workdir/ckpt_*, or None."""
+    """Most recent checkpoint dir under workdir/ckpt_* or None. Prefers
+    ckpt_last (the trainer's periodic elastic-recovery checkpoint), then
+    the newest by numeric suffix (ckpt_<step> naming), then by mtime
+    (covers ckpt_best and custom names)."""
     if not os.path.isdir(workdir):
         return None
-    cands = [d for d in os.listdir(workdir) if d.startswith("ckpt_")]
+    last = os.path.join(workdir, "ckpt_last")
+    if os.path.isdir(last):
+        return last
+    cands = [d for d in os.listdir(workdir)
+             if d.startswith("ckpt_")
+             and os.path.isdir(os.path.join(workdir, d))]
     if not cands:
         return None
-    cands.sort(key=lambda d: int(d.split("_")[-1]))
+
+    def key(d):
+        tail = d.split("_")[-1]
+        numeric = tail.isdigit()
+        return (numeric, int(tail) if numeric
+                else os.path.getmtime(os.path.join(workdir, d)))
+
+    cands.sort(key=key)
     return os.path.join(workdir, cands[-1])
