@@ -114,18 +114,17 @@ def main():
     state = fresh_state(b1)
 
     from x2gnn_tpu.train.loss import smooth_l1_loss
+    from x2gnn_tpu.train.optim import apply_update_skip_nonfinite
 
+    # identical step body to the dp/ep/hybrid steps minus collectives,
+    # so t1/tN compares equal per-step work
     def single_step(state, batch):
         def loss_fn(p):
             pred = model.apply(p, batch)
             return smooth_l1_loss(pred, batch.y, mask=batch.graph_mask)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = opt.update(grads, state.opt_state,
-                                        state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                        state.params, updates)
-        return state._replace(params=params, opt_state=opt_state,
-                              step=state.step + 1), loss
+        return apply_update_skip_nonfinite(state, loss, grads, opt,
+                                           tcfg.ema_decay)
 
     jstep = jax.jit(single_step, donate_argnums=0)
     b1d = jax.tree_util.tree_map(jnp.asarray, b1)
@@ -152,13 +151,20 @@ def main():
                         "edges_per_s": round(eN / tN),
                         "efficiency": round(eff, 4), "virtual": virtual})
 
+    def scale_budgets(b, k):
+        # replicating the 1-device dataset k times scales the count
+        # budgets exactly k-fold (degree budgets unchanged), so every
+        # shard's padded work equals the baseline's
+        return b._replace(n_node=b.n_node * k, n_edge=b.n_edge * k,
+                          n_trip=b.n_trip * k, n_hi=b.n_hi * k)
+
     if "ep" in modes and n_dev > 1:
-        # weak scaling for EP: ONE graph batch n_dev times the size,
-        # atoms sharded across the mesh
+        # weak scaling for EP: ONE batched graph holding n_dev replicas
+        # of the baseline's molecules, atoms sharded across the mesh —
+        # per-device padded work identical to the 1-device baseline
         mesh = make_mesh(n_dev)
-        gs = synthetic_dataset(per * n_dev, mean_atoms=args.mean_atoms,
-                               seed=1)
-        big = pad_graphs(gs, pad_budget_for(gs, per * n_dev))
+        gs = [g for _ in range(n_dev) for g in graphs1]
+        big = pad_graphs(gs, scale_budgets(per_dev_budget, n_dev))
         epb = make_ep_batch(big, n_dev)
         epbs = shard_ep_batch(epb, mesh)
         st = fresh_state(big)
@@ -176,13 +182,11 @@ def main():
     if "hybrid" in modes and n_dev >= 4 and n_dev % 2 == 0:
         dp, ep_w = 2, n_dev // 2
         mesh = make_hybrid_mesh(dp, ep_w)
-        allg, groups = [], []
-        for i in range(dp):
-            gs = synthetic_dataset(per * ep_w, mean_atoms=args.mean_atoms,
-                                   seed=10 + i)
-            allg.extend(gs)
-            groups.append(gs)
-        budg = pad_budget_for(allg, per * ep_w)
+        # each dp group = ep_w replicas of the baseline molecules, so
+        # every one of the dp*ep_w devices holds baseline-equal work
+        groups = [[g for _ in range(ep_w) for g in gsets[i]]
+                  for i in range(dp)]
+        budg = scale_budgets(per_dev_budget, ep_w)
         epbs = [make_ep_batch(pad_graphs(g, budg), ep_w) for g in groups]
         sh = shard_hybrid_batch(stack_ep_batches(epbs), mesh)
         st = fresh_state(pad_graphs(groups[0], budg))

@@ -232,3 +232,29 @@ def test_pallas_gradients_match_xla(make_molecule, rng):
         np.testing.assert_allclose(
             np.asarray(c), np.asarray(a), rtol=3e-3, atol=3e-4,
             err_msg=f"grad mismatch for {name}")
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_pallas_kernel_under_jit_remat(make_molecule, rng, chunked):
+    """jax.checkpoint around the fused kernel under jit: the custom_vjp
+    must not close over tracers (regression: cfg.remat on the pallas path
+    raised UnexpectedTracerError). Gradients match the uncheckpointed
+    kernel."""
+    b, tensors, geom = _problem(make_molecule, rng)
+    D = b.in_edges.shape[1]
+    ic = (8 if D % 8 == 0 else D) if chunked else None
+    em = jnp.asarray(b.edge_mask)
+
+    def loss(*t):
+        out = _pallas_out(b, t, geom, i_chunk=ic)
+        return jnp.where(em[:, None, None], out + out ** 2, 0.0).sum()
+
+    g_plain = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))(*tensors)
+    loss_ckpt = jax.checkpoint(loss)
+    g_ckpt = jax.jit(jax.grad(loss_ckpt,
+                              argnums=(0, 1, 2, 3, 4, 5)))(*tensors)
+    for name, a, c in zip(["q", "k", "v", "e_atom", "W", "bias"],
+                          g_plain, g_ckpt):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=f"remat grad mismatch for {name}")

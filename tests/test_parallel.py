@@ -53,6 +53,10 @@ def test_stack_batches_shapes(make_molecule, rng):
 
 def test_dp_grads_match_mean_of_per_device_grads(make_molecule, rng):
     """DP step loss/params must equal serially averaging per-device grads."""
+    # pin the shared session rng: this comparison is f32-tolerance-
+    # marginal (Adam rsqrt amplifies pmean-vs-serial-mean rounding), so
+    # it must not depend on how many rng draws earlier tests consumed
+    rng.bit_generator.state = np.random.default_rng(4242).bit_generator.state
     n_dev = 4
     _, batches = _device_batches(make_molecule, rng, n_dev, 2)
     mesh = make_mesh(n_dev)
@@ -136,3 +140,27 @@ def test_dp_eval_psum(make_molecule, rng):
             2.0 * jnp.where(b.graph_mask,
                             jnp.abs(pred - b.y), 0.0).sum())
     assert float(err) == pytest.approx(total, rel=1e-5)
+
+
+def test_dp_nonfinite_loss_skips_update_and_counts(make_molecule, rng):
+    """A NaN target in DP mode must leave params AND opt_state untouched
+    and increment bad_steps (shared apply_update_skip_nonfinite path)."""
+    n_dev = 4
+    _, batches = _device_batches(make_molecule, rng, n_dev, 2)
+    bad = batches[0].replace(y=jnp.full_like(jnp.asarray(batches[0].y),
+                                             jnp.nan))
+    mesh = make_mesh(n_dev)
+    stacked = shard_batches([bad] + batches[1:], mesh)
+    model = X2GNN(CFG)
+    opt = make_optimizer(TCFG)
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+    state = TrainState(params, opt.init(params), ema_init(params),
+                       jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    before = jax.tree_util.tree_map(np.asarray, params)  # pre-donation
+    step = make_dp_train_step(model, opt, TCFG.ema_decay, mesh)
+    new_state, loss = step(state, stacked)
+    assert not np.isfinite(float(loss))
+    assert int(new_state.bad_steps) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -244,13 +244,24 @@ def test_gradient_accumulation_multisteps():
 
 
 def test_latest_checkpoint_handles_named_and_numeric(tmp_path):
+    import os
     from x2gnn_tpu.train.checkpoint import latest_checkpoint
 
+    def mk(name, t):
+        d = tmp_path / name
+        d.mkdir()
+        os.utime(d, (t, t))
+
     assert latest_checkpoint(str(tmp_path / "missing")) is None
-    (tmp_path / "ckpt_best").mkdir()
+    mk("ckpt_best", 100)
     assert latest_checkpoint(str(tmp_path)).endswith("ckpt_best")
-    (tmp_path / "ckpt_5").mkdir()
-    (tmp_path / "ckpt_40").mkdir()
+    # numeric suffixes break mtime ties
+    mk("ckpt_5", 200)
+    mk("ckpt_40", 200)
     assert latest_checkpoint(str(tmp_path)).endswith("ckpt_40")
-    (tmp_path / "ckpt_last").mkdir()
+    mk("ckpt_last", 300)
     assert latest_checkpoint(str(tmp_path)).endswith("ckpt_last")
+    # a ckpt_best saved AFTER the periodic ckpt_last wins (it is the
+    # newer full TrainState — resuming from ckpt_last would roll back)
+    os.utime(tmp_path / "ckpt_best", (400, 400))
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_best")

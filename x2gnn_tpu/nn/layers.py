@@ -74,26 +74,29 @@ class ResidualLayer(nn.Module):
         return h + x
 
 
+@jax.custom_vjp
 def _freq_scaled_lookup(table, idx):
     """Embedding lookup whose backward scales each row's gradient by the
     inverse frequency of that index in the batch — functional equivalent of
-    torch's `scale_grad_by_freq=True` (atom_embedding.py:14)."""
+    torch's `scale_grad_by_freq=True` (atom_embedding.py:14). `idx` is an
+    explicit custom_vjp argument (float0 cotangent), never a closure
+    capture — closed-over tracers leak under jax.checkpoint/nn.remat."""
+    return table[idx]
 
-    @jax.custom_vjp
-    def lookup(tbl):
-        return tbl[idx]
 
-    def fwd(tbl):
-        return tbl[idx], ()
+def _freq_scaled_lookup_fwd(table, idx):
+    return table[idx], (table.shape, idx)
 
-    def bwd(_, g):
-        counts = jnp.zeros(table.shape[0], g.dtype).at[idx].add(1.0)
-        scale = 1.0 / jnp.maximum(counts[idx], 1.0)
-        dtbl = jnp.zeros(table.shape, g.dtype).at[idx].add(g * scale[:, None])
-        return (dtbl,)
 
-    lookup.defvjp(fwd, bwd)
-    return lookup(table)
+def _freq_scaled_lookup_bwd(res, g):
+    tbl_shape, idx = res
+    counts = jnp.zeros(tbl_shape[0], g.dtype).at[idx].add(1.0)
+    scale = 1.0 / jnp.maximum(counts[idx], 1.0)
+    dtbl = jnp.zeros(tbl_shape, g.dtype).at[idx].add(g * scale[:, None])
+    return dtbl, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_freq_scaled_lookup.defvjp(_freq_scaled_lookup_fwd, _freq_scaled_lookup_bwd)
 
 
 class EmbeddingBlock(nn.Module):

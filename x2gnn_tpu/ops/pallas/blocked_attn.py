@@ -408,7 +408,14 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                            memory_space=pltpu.VMEM),
         )
 
-    def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
+    # The non-differentiated operands (basis tables, angle cosines, pair
+    # validity / atom-id tables) are EXPLICIT custom_vjp arguments with
+    # zero cotangents, not closure captures: a custom_vjp that closes
+    # over tracers leaks across jax.checkpoint / nn.remat tracing
+    # (cfg.remat wraps this kernel). They are pure geometry — no
+    # trainable parameter feeds them — so their gradients are unused.
+    def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+                 rbf_blk, z, aux_a, aux_b):
         if i_chunk is not None:
             kern = functools.partial(_fwd_kernel_ichunk, BA=BA, D=D, H=H,
                                      C=C, L=L, K=K, IC=i_chunk)
@@ -422,7 +429,7 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
                 interpret=interp,
             )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-              valid_f)
+              aux_a)
         kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C,
                                  L=L, K=K)
         return pl.pallas_call(
@@ -435,18 +442,31 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
             out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
             interpret=interp,
         )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-          a_ids3, b_ids3)
+          aux_a, aux_b)
+
+    def _zero_ct(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
     @jax.custom_vjp
-    def run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
-        return _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
+    def run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+            rbf_blk, z, aux_a, aux_b):
+        return _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+                        rbf_blk, z, aux_a, aux_b)
 
-    def fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias):
-        out = _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
-        return out, (q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
+    def fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+            rbf_blk, z, aux_a, aux_b):
+        out = _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+                       rbf_blk, z, aux_a, aux_b)
+        return out, (q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+                     rbf_blk, z, aux_a, aux_b)
 
     def bwd(res, g):
-        q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias = res
+        (q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+         rbf_blk, z, aux_a, aux_b) = res
         out_shapes = (
             jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
             jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
@@ -470,7 +490,7 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 out_shape=out_shapes,
                 interpret=interp,
             )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-              valid_f, g)
+              aux_a, g)
         else:
             kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C,
                                      L=L, K=K)
@@ -485,12 +505,19 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 out_shape=out_shapes,
                 interpret=interp,
             )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-              a_ids3, b_ids3, g)
+              aux_a, aux_b, g)
         # bf16 primals require bf16 cotangents (kernel math stays f32)
         return (dq.astype(q_blk.dtype), dk.astype(k_blk.dtype),
                 dv.astype(v_blk.dtype), de.astype(e_atom3.dtype),
-                dw.astype(w_bd.dtype), db.astype(s_bias.dtype))
+                dw.astype(w_bd.dtype), db.astype(s_bias.dtype),
+                _zero_ct(rbf_blk), _zero_ct(z), _zero_ct(aux_a),
+                _zero_ct(aux_b))
 
     run.defvjp(fwd, bwd)
-    out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias)
+    if i_chunk is not None:
+        out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+                  rbf_blk, z, valid_f, None)
+    else:
+        out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
+                  rbf_blk, z, a_ids3, b_ids3)
     return out

@@ -23,8 +23,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from x2gnn_tpu.data.batching import GraphBatch
-from x2gnn_tpu.train.ema import ema_update
 from x2gnn_tpu.train.loss import smooth_l1_loss, masked_mae
+from x2gnn_tpu.train.optim import apply_update_skip_nonfinite
 
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
@@ -91,19 +91,10 @@ def make_dp_train_step(model, optimizer, ema_decay: float,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         grads = jax.lax.pmean(grads, "data")
         loss = jax.lax.pmean(loss, "data")
-        # failure detection: skip the update on non-finite global loss
-        finite = jnp.isfinite(loss)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + jnp.where(finite, u, jnp.zeros_like(u)),
-            state.params, updates)
-        ema = ema_update(state.ema, params, ema_decay)
-        new_state = state._replace(params=params, opt_state=opt_state,
-                                   ema=ema, step=state.step + 1)
-        return new_state, loss
+        # failure detection: a non-finite global loss leaves params AND
+        # opt_state untouched and counts in bad_steps
+        return apply_update_skip_nonfinite(state, loss, grads, optimizer,
+                                           ema_decay)
 
     sharded = shard_map(
         per_device, mesh=mesh,

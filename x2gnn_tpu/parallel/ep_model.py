@@ -47,8 +47,8 @@ from x2gnn_tpu.config import ModelConfig
 from x2gnn_tpu.data.batching import GraphBatch
 from x2gnn_tpu.ops.basis import (
     legendre_cos_harmonics, poly_envelope, sbf_radial_part)
-from x2gnn_tpu.train.ema import ema_update
 from x2gnn_tpu.train.loss import smooth_l1_loss
+from x2gnn_tpu.train.optim import apply_update_skip_nonfinite
 
 AXIS = "data"
 
@@ -453,16 +453,7 @@ def make_ep_train_step(cfg: ModelConfig, optimizer, ema_decay: float,
             return smooth_l1_loss(pred, epb.y, mask=epb.graph_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        finite = jnp.isfinite(loss)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda pp, u: pp + jnp.where(finite, u, jnp.zeros_like(u)),
-            state.params, updates)
-        ema = ema_update(state.ema, params, ema_decay)
-        return state._replace(params=params, opt_state=opt_state, ema=ema,
-                              step=state.step + 1), loss
+        return apply_update_skip_nonfinite(state, loss, grads, optimizer,
+                                           ema_decay)
 
     return jax.jit(step, donate_argnums=0)

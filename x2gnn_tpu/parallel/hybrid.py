@@ -40,9 +40,10 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from x2gnn_tpu.config import ModelConfig
-from x2gnn_tpu.parallel.ep_model import AXIS, EPBatch, _ep_forward_local
-from x2gnn_tpu.train.ema import ema_update
+from x2gnn_tpu.parallel.ep_model import (
+    AXIS, EPBatch, _ep_forward_local)
 from x2gnn_tpu.train.loss import masked_mae, smooth_l1_loss
+from x2gnn_tpu.train.optim import apply_update_skip_nonfinite
 
 DP_AXIS = "dp"
 _REPLICATED_OVER_EP = ("y", "graph_mask")
@@ -131,17 +132,8 @@ def make_hybrid_train_step(cfg: ModelConfig, optimizer, ema_decay: float,
                                   mask=epb.graph_mask.reshape(-1))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        finite = jnp.isfinite(loss)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda pp, u: pp + jnp.where(finite, u, jnp.zeros_like(u)),
-            state.params, updates)
-        ema = ema_update(state.ema, params, ema_decay)
-        return state._replace(params=params, opt_state=opt_state, ema=ema,
-                              step=state.step + 1), loss
+        return apply_update_skip_nonfinite(state, loss, grads, optimizer,
+                                           ema_decay)
 
     return jax.jit(step, donate_argnums=0)
 

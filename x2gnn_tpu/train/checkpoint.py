@@ -34,15 +34,14 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
 
 
 def latest_checkpoint(workdir: str) -> Optional[str]:
-    """Most recent checkpoint dir under workdir/ckpt_* or None. Prefers
-    ckpt_last (the trainer's periodic elastic-recovery checkpoint), then
-    the newest by numeric suffix (ckpt_<step> naming), then by mtime
-    (covers ckpt_best and custom names)."""
+    """Most recent checkpoint dir under workdir/ckpt_* or None: newest by
+    mtime (every trainer checkpoint — ckpt_last, ckpt_best, ckpt_<step> —
+    is a full TrainState, so recency is the only thing that matters for
+    resume; preferring ckpt_last unconditionally could silently roll back
+    past a ckpt_best saved on a later epoch). Numeric step suffixes break
+    mtime ties."""
     if not os.path.isdir(workdir):
         return None
-    last = os.path.join(workdir, "ckpt_last")
-    if os.path.isdir(last):
-        return last
     cands = [d for d in os.listdir(workdir)
              if d.startswith("ckpt_")
              and os.path.isdir(os.path.join(workdir, d))]
@@ -51,9 +50,8 @@ def latest_checkpoint(workdir: str) -> Optional[str]:
 
     def key(d):
         tail = d.split("_")[-1]
-        numeric = tail.isdigit()
-        return (numeric, int(tail) if numeric
-                else os.path.getmtime(os.path.join(workdir, d)))
+        return (os.path.getmtime(os.path.join(workdir, d)),
+                int(tail) if tail.isdigit() else -1)
 
     cands.sort(key=key)
     return os.path.join(workdir, cands[-1])

@@ -65,9 +65,41 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         steps.append(optax.clip_by_global_norm(cfg.max_grad))
     steps.append(optax.adam(learning_rate=schedule))
     opt = optax.chain(*steps)
-    if getattr(cfg, "accum_steps", 1) > 1:
+    if cfg.accum_steps > 1:
         # gradient accumulation: updates are zero except every
         # accum_steps-th micro-batch, where the AVERAGED gradient is
         # applied — effective batch = accum_steps * batch_size
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_steps)
     return opt
+
+
+def apply_update_skip_nonfinite(state, loss, grads, optimizer,
+                                ema_decay: float):
+    """Optimizer + EMA update with non-finite-loss containment matching
+    Trainer._default_train_step: a NaN/inf loss leaves params AND
+    opt_state untouched (so e.g. optax.MultiSteps' micro-step counter
+    does not advance — the bad micro-batch truly doesn't count) and
+    increments bad_steps when the state tracks it. Shared by the DP, EP
+    and hybrid train steps."""
+    import jax
+    from x2gnn_tpu.train.ema import ema_update
+
+    finite = jnp.isfinite(loss)
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    updates, opt_state = optimizer.update(
+        safe_grads, state.opt_state, state.params)
+    params = jax.tree_util.tree_map(
+        lambda pp, u: pp + jnp.where(finite, u, jnp.zeros_like(u)),
+        state.params, updates)
+    opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old)
+        if isinstance(new, jnp.ndarray) and new.shape == getattr(
+            old, "shape", None) else new,
+        opt_state, state.opt_state)
+    ema = ema_update(state.ema, params, ema_decay)
+    bad = getattr(state, "bad_steps", None)
+    if bad is not None:
+        bad = bad + (1 - finite.astype(jnp.int32))
+    return state._replace(params=params, opt_state=opt_state, ema=ema,
+                          step=state.step + 1, bad_steps=bad), loss

@@ -97,6 +97,11 @@ class Trainer:
         if cache_batches is None:
             cache_batches = n <= 20000
         self._batch_cache = {} if cache_batches else None
+        # mesh modes cache the SHARDED device layout (EP/hybrid relayout
+        # + device_put happen once per run, not once per epoch); the host
+        # batch cache then skips its own device transfer
+        self._sharded_cache = {} if (cache_batches and mesh is not None) \
+            else None
 
         self.mesh = mesh
         self.edge_partition = edge_partition
@@ -215,16 +220,33 @@ class Trainer:
         # every step leaks host memory on the remote-TPU backend (a
         # multi-hour run was OOM-killed at 127 GB host RSS) and wastes
         # PCIe/tunnel bandwidth every epoch.
-        import jax.numpy as jnp_
-        batches = [jax.tree_util.tree_map(jnp_.asarray, b) for b in it]
+        batches = list(it)
+        if self.mesh is None:
+            import jax.numpy as jnp_
+            batches = [jax.tree_util.tree_map(jnp_.asarray, b)
+                       for b in batches]
+        # else: keep HOST batches here — _device_batches caches the
+        # sharded device layout, so transferring now would be wasted
         self._batch_cache[key] = batches
         return iter(batches)
 
     def _device_batches(self, idx):
-        """Batches grouped/stacked per device when a mesh is active."""
-        batches = self._batches(idx)
+        """Batches grouped/stacked per device when a mesh is active.
+        The sharded device layout is cached across epochs (the split
+        order is fixed, so it is identical every epoch)."""
         if self.mesh is None:
-            return batches
+            return self._batches(idx)
+        key = (int(idx[0]) if len(idx) else -1, len(idx))
+        if self._sharded_cache is not None and key in self._sharded_cache:
+            return iter(self._sharded_cache[key])
+        out = self._make_device_batches(self._batches(idx))
+        if self._sharded_cache is not None:
+            out = list(out)
+            self._sharded_cache[key] = out
+            return iter(out)
+        return out
+
+    def _make_device_batches(self, batches):
         if self._hybrid:
             from x2gnn_tpu.parallel.data_parallel import empty_like_batch
             from x2gnn_tpu.parallel.ep_model import make_ep_batch
