@@ -265,3 +265,35 @@ def test_latest_checkpoint_handles_named_and_numeric(tmp_path):
     # newer full TrainState — resuming from ckpt_last would roll back)
     os.utime(tmp_path / "ckpt_best", (400, 400))
     assert latest_checkpoint(str(tmp_path)).endswith("ckpt_best")
+
+
+def test_dropout_trains_on_segment_layout(make_molecule, rng, tmp_path):
+    """cfg.dropout > 0 is now live in training (deterministic=False +
+    per-step rng on the segment layout) and rejected loudly elsewhere."""
+    import dataclasses
+    import pytest
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+
+    cfg = ModelConfig(conv_layers=1, in_channels=16, embedding_size=16,
+                      heads=2, sbf_dim=2, rbf_dim=2, edge_feat_dim=8,
+                      dropout=0.25, attention_layout="segment")
+    graphs = synthetic_dataset(8, mean_atoms=6, seed=2, edge_feat_dim=8)
+    targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
+    tcfg = TrainConfig(batch_size=4, warmup_steps=2, max_epoch=2)
+    trainer = Trainer(X2GNN(cfg), cfg, tcfg, graphs, targets,
+                      workdir=str(tmp_path / "drop"))
+    state, summary = trainer.fit(epochs=2)
+    assert np.isfinite(summary["best_val_mae"])
+
+    # non-segment layouts refuse silent no-op dropout
+    cfg_b = dataclasses.replace(cfg, attention_layout="blocked",
+                                use_pallas=False)
+    model_b = X2GNN(cfg_b)
+    batch = next(iter(trainer._batches(trainer.train_idx[:4])))
+    params = model_b.init(jax.random.PRNGKey(0), batch)
+    with pytest.raises(NotImplementedError):
+        model_b.apply(params, batch, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})

@@ -34,6 +34,7 @@ from x2gnn_tpu.nn.layers import (
     Dense, EmbeddingBlock, RadialBasisLayer, ResidualLayer)
 from x2gnn_tpu.nn.norm import GraphLayerNorm
 from x2gnn_tpu.nn.readout import AtomWiseReadout, MolWiseReadout
+from x2gnn_tpu.ops.attention import injective_gather
 from x2gnn_tpu.ops.basis import (
     legendre_cos_harmonics, poly_envelope, sbf_2d, sbf_radial_part)
 from x2gnn_tpu.ops.segment import segment_sum
@@ -45,6 +46,11 @@ class X2GNN(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         cfg = self.config
+        if (cfg.dropout > 0 and not deterministic
+                and cfg.attention_layout != "segment"):
+            raise NotImplementedError(
+                "attention dropout is implemented for the segment layout "
+                "only; train with attention_layout='segment' or dropout=0")
         num_atoms = batch.numbers.shape[0]
         num_graphs = batch.y.shape[0]
 
@@ -56,7 +62,6 @@ class X2GNN(nn.Module):
         # (N, D, ...) end to end (each edge = exactly one in-slot); other
         # layouts use the flat (E, ...) edge layout.
         if blocked:
-            from x2gnn_tpu.ops.attention import injective_gather
             N_, D = batch.in_edges.shape
             edge_mask = batch.in_mask                        # (N, D)
             in_src = batch.edge_src[batch.in_edges]          # (N, D)

@@ -31,7 +31,7 @@ import flax.linen as nn
 from x2gnn_tpu.nn.init import glorot_orthogonal
 from x2gnn_tpu.nn.layers import TorchDense
 from x2gnn_tpu.ops.attention import (
-    beta_gate, blocked_attention, padded_attention, segment_attention)
+    beta_gate, blocked_attention_core, injective_gather, padded_attention)
 from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
 
 
@@ -110,6 +110,14 @@ class EdgeAttentionConv(nn.Module):
         e = eattr.reshape(-1, H, C)
         s = sbf_proj.reshape(-1, H, C)
 
+        if (self.dropout > 0.0 and not deterministic
+                and (self.layout != "segment"
+                     or self.attention_fn is not None)):
+            raise NotImplementedError(
+                "attention dropout is implemented for the segment layout "
+                "only (the reference applies it to the segment-softmax "
+                "weights, sbftransformer_conv.py:153); train with "
+                "attention_layout='segment' or dropout=0")
         weights = None
         if self.attention_fn is not None:
             out = self.attention_fn(q, k, v, e, s, trip_src, trip_dst,
@@ -213,7 +221,6 @@ class BlockedEdgeAttentionConv(nn.Module):
         w_sbf, b_sbf = _LinearParams(L * K, self.channels,
                                      name="lin_sbf")()
 
-        from x2gnn_tpu.ops.attention import injective_gather
         k_out = injective_gather(k_in.reshape(N * D, self.channels),
                                  out2in, in2out_flat, in_mask_flat)
         v_out = injective_gather(v_in.reshape(N * D, self.channels),
@@ -255,7 +262,6 @@ class BlockedEdgeAttentionConv(nn.Module):
                     rbf_env_out, w_bd, bias,
                     z, a_ids, b_ids, heads=H, num_radial=K)  # (N, D, HC)
         else:
-            from x2gnn_tpu.ops.attention import blocked_attention_core
             G = jnp.einsum("nelk,lkf->nelf",
                            rbf_env_out.reshape(N, D, L, K),
                            w_sbf.reshape(L, K, self.channels))

@@ -89,8 +89,16 @@ def make_dp_train_step(model, optimizer, ema_decay: float,
             return smooth_l1_loss(pred, batch.y, mask=batch.graph_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
+        # weight each device by its REAL graph count: the final ragged
+        # group is padded with all-masked filler batches whose zero
+        # losses/grads must not dilute the global mean (loss and update
+        # then equal the single-device step on the union of real graphs)
+        cnt = batch.graph_mask.sum().astype(jnp.float32)
+        total = jnp.maximum(jax.lax.psum(cnt, "data"), 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * cnt, "data") / total, grads)
+        loss = jax.lax.psum(jnp.where(cnt > 0, loss, 0.0) * cnt,
+                            "data") / total
         # failure detection: a non-finite global loss leaves params AND
         # opt_state untouched and counts in bad_steps
         return apply_update_skip_nonfinite(state, loss, grads, optimizer,

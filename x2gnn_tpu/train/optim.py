@@ -97,7 +97,11 @@ def apply_update_skip_nonfinite(state, loss, grads, optimizer,
         if isinstance(new, jnp.ndarray) and new.shape == getattr(
             old, "shape", None) else new,
         opt_state, state.opt_state)
-    ema = ema_update(state.ema, params, ema_decay)
+    # EMA is gated too: a skipped step must not fold the (retained)
+    # params in again nor advance the EMA count
+    ema_new = ema_update(state.ema, params, ema_decay)
+    ema = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), ema_new, state.ema)
     bad = getattr(state, "bad_steps", None)
     if bad is not None:
         bad = bad + (1 - finite.astype(jnp.int32))

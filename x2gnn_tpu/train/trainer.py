@@ -22,9 +22,10 @@ from x2gnn_tpu.config import ModelConfig, TrainConfig
 from x2gnn_tpu.data.batching import (
     GraphBatch, batch_iterator, pad_budget_for)
 from x2gnn_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
-from x2gnn_tpu.train.ema import EmaState, ema_init, ema_update
+from x2gnn_tpu.train.ema import EmaState, ema_init
 from x2gnn_tpu.train.loss import smooth_l1_loss, masked_mae
-from x2gnn_tpu.train.optim import make_optimizer
+from x2gnn_tpu.train.optim import (
+    apply_update_skip_nonfinite, make_optimizer)
 
 
 class TrainState(NamedTuple):
@@ -107,6 +108,11 @@ class Trainer:
         self.edge_partition = edge_partition
         self._hybrid = (mesh is not None and edge_partition is not None
                         and "dp" in getattr(mesh, "axis_names", ()))
+        if model_cfg.dropout > 0 and mesh is not None:
+            raise ValueError(
+                "dropout training is supported on the single-device "
+                "segment-layout path only (the DP/EP/hybrid steps do not "
+                "thread a dropout rng); set dropout=0 or drop the mesh")
         if self._hybrid:
             # hybrid DP x EP: molecule groups over the 'dp' axis, each
             # group's graph edge-partitioned over 'data' (parallel/hybrid.py)
@@ -161,31 +167,27 @@ class Trainer:
         a NaN/inf loss skips the whole update (params/opt/EMA unchanged)
         and increments `bad_steps` — the elastic-recovery piece the
         reference lacks entirely (SURVEY §5)."""
+        dropout = self.mcfg.dropout > 0
 
         def loss_fn(params):
-            pred = self.model.apply(params, batch)
+            if dropout:
+                # per-step dropout rng derived from the step counter —
+                # deterministic, resume-stable (sbftransformer_conv.py:153
+                # applies dropout to the attention weights in training)
+                rngs = {"dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(self.tcfg.random_seed), state.step)}
+                pred = self.model.apply(params, batch, deterministic=False,
+                                        rngs=rngs)
+            else:
+                pred = self.model.apply(params, batch)
             return smooth_l1_loss(pred, batch.y, mask=batch.graph_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        finite = jnp.isfinite(loss)
-        safe_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = self.optimizer.update(
-            safe_grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + jnp.where(finite, u, jnp.zeros_like(u)),
-            state.params, updates)
-        opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old)
-            if isinstance(new, jnp.ndarray) and new.shape == getattr(
-                old, "shape", None) else new,
-            opt_state, state.opt_state)
-        ema = ema_update(state.ema, params, self.tcfg.ema_decay)
-        bad = state.bad_steps
-        if bad is None:
-            bad = jnp.zeros((), jnp.int32)
-        return TrainState(params, opt_state, ema, state.step + 1,
-                          bad + (1 - finite.astype(jnp.int32))), loss
+        if state.bad_steps is None:
+            state = state._replace(bad_steps=jnp.zeros((), jnp.int32))
+        return apply_update_skip_nonfinite(state, loss, grads,
+                                           self.optimizer,
+                                           self.tcfg.ema_decay)
 
     def _default_eval_step(self, ema_params, batch: GraphBatch):
         pred = self.model.apply(ema_params, batch)
@@ -203,7 +205,7 @@ class Trainer:
                           jnp.zeros((), jnp.int32))
 
     def _batches(self, idx):
-        key = (int(idx[0]) if len(idx) else -1, len(idx))
+        key = self._cache_key(idx)
         if self._batch_cache is not None and key in self._batch_cache:
             return iter(self._batch_cache[key])
         graphs = [self.graphs[i] for i in idx]
@@ -236,7 +238,7 @@ class Trainer:
         order is fixed, so it is identical every epoch)."""
         if self.mesh is None:
             return self._batches(idx)
-        key = (int(idx[0]) if len(idx) else -1, len(idx))
+        key = self._cache_key(idx)
         if self._sharded_cache is not None and key in self._sharded_cache:
             return iter(self._sharded_cache[key])
         out = self._make_device_batches(self._batches(idx))
@@ -278,22 +280,43 @@ class Trainer:
         from x2gnn_tpu.parallel.data_parallel import dp_batch_iterator
         return dp_batch_iterator(batches, self.n_dev, self.mesh)
 
+    def _steps_per_epoch(self) -> int:
+        n_batches = -(-len(self.train_idx) // self.tcfg.batch_size)
+        if self.mesh is None or (self.edge_partition is not None
+                                 and not self._hybrid):
+            return max(n_batches, 1)   # one step per batch (plain / EP)
+        group = self._dp if self._hybrid else self.n_dev
+        return max(-(-n_batches // group), 1)
+
+    @staticmethod
+    def _cache_key(idx):
+        # hash the CONTENTS: (first, len) collides for reorderings or
+        # different index sets sharing the head element
+        return (len(idx), hash(np.ascontiguousarray(idx).tobytes()))
+
     # ---- loops -----------------------------------------------------------
     def run_epoch(self, state: TrainState):
-        total, count = 0.0, 0
+        # keep losses/counts as device values until the epoch ends: a
+        # float() per step would force one host<->device round trip per
+        # step (expensive on the remote-attached TPU) and stop the host
+        # from enqueueing the next step while the current one runs
+        losses, counts = [], []
         for batch in self._device_batches(self.train_idx):
             state, loss = self._train_step(state, batch)
-            g = int(np.asarray(batch.graph_mask.sum()))
+            losses.append(loss)
+            counts.append(batch.graph_mask.sum())
+        total, count = 0.0, 0
+        for loss, g in zip(losses, counts):
+            g = int(np.asarray(g))
             total += float(loss) * g
             count += g
         return state, total / max(count, 1)
 
     def evaluate(self, state: TrainState, idx) -> float:
-        total, count = 0.0, 0
-        for batch in self._device_batches(idx):
-            err, g = self._eval_step(state.ema.params, batch)
-            total += float(err)
-            count += int(g)
+        accum = [self._eval_step(state.ema.params, batch)
+                 for batch in self._device_batches(idx)]
+        total = sum(float(err) for err, _ in accum)
+        count = sum(int(g) for _, g in accum)
         return total / max(count, 1)
 
     def fit(self, epochs: Optional[int] = None,
@@ -314,6 +337,11 @@ class Trainer:
         jsonl_path = os.path.join(self.workdir, "metrics.jsonl")
         resumed = state is not None
         state = state if state is not None else self.init_state()
+        # the ckpt_after_epoch gate counts GLOBAL epochs: a resumed run
+        # restarts the local loop at 0, but its restored step counter
+        # knows how far training actually got — without this, the best
+        # epochs of a resumed run inside the gate window are never saved
+        epoch0 = int(np.asarray(state.step)) // self._steps_per_epoch()
 
         best_val, test_err = None, None
         best_meta = os.path.join(self.workdir, "ckpt_best_val.json")
@@ -345,7 +373,7 @@ class Trainer:
                 # >= so ckpt_after_epoch=0 checkpoints from the first
                 # epoch (reference gates with `epoch > 100`, trainer.py:95
                 # — the default of 100 keeps that behavior ±1 epoch)
-                if epoch >= self.tcfg.ckpt_after_epoch:
+                if epoch0 + epoch >= self.tcfg.ckpt_after_epoch:
                     test_err = self.evaluate(state, self.test_idx)
                     save_checkpoint(
                         os.path.join(self.workdir, "ckpt_best"), state)
@@ -391,7 +419,9 @@ class Trainer:
                         f"{time.strftime('%m_%d_%H_%M_%S')}"
                         f"\t[epoch]:{epoch + 1:03d}\t[Loss]:{loss:.7f}"
                         f"\t[ValMAE]:{val_err:.7f}"
-                        f"\t[TestMAE]:{test_err if test_err else -1.0:.7f}\n")
+                        f"\t[TestMAE]:"
+                        f"{test_err if test_err is not None else -1.0:.7f}"
+                        "\n")
         return state, {"best_val_mae": best_val, "test_mae": test_err}
 
     # ---- resume ----------------------------------------------------------
