@@ -136,3 +136,24 @@ def test_trainer_hybrid_mode(tmp_path):
     losses = [json.loads(l)["loss"] for l in
               open(tmp_path / "hybrid_run" / "metrics.jsonl")]
     assert losses[-1] < losses[0]
+
+
+def test_hybrid_sharded_batch_cache_hits(tmp_path):
+    """Mesh-mode trainers cache the SHARDED device batches: the second
+    epoch must reuse the exact same device objects (no per-epoch EP
+    relayout / host->device transfer)."""
+    from x2gnn_tpu.train.trainer import Trainer
+
+    cfg = dataclasses.replace(CFG)
+    graphs = synthetic_dataset(16, mean_atoms=8, seed=5, edge_feat_dim=8)
+    targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
+    tcfg = TrainConfig(batch_size=4, warmup_steps=2)
+    mesh = make_hybrid_mesh(DP, EP)
+    trainer = Trainer(X2GNN(cfg), cfg, tcfg, graphs, targets,
+                      workdir=str(tmp_path / "cache"), mesh=mesh,
+                      edge_partition="allgather")
+    first = list(trainer._device_batches(trainer.train_idx))
+    second = list(trainer._device_batches(trainer.train_idx))
+    assert len(first) == len(second) > 0
+    for a, b in zip(first, second):
+        assert a.feat_blk is b.feat_blk       # same device buffer

@@ -62,6 +62,9 @@ def parse_args(argv=None):
                    help="shard each batched graph's ACTIVATIONS over the "
                         "device mesh (graphs larger than one chip); "
                         "'ring' exchanges K/V shard-by-shard via ppermute")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="attention-weight dropout (segment layout only, "
+                        "single-device; reference config.json 'dropout')")
     p.add_argument("--accum-steps", type=int, default=None,
                    help="gradient accumulation: apply the optimizer every "
                         "N micro-batches (effective batch = N*batch_size)")
@@ -140,6 +143,8 @@ def main(argv=None):
         mcfg = dataclasses.replace(mcfg, compute_dtype=args.compute_dtype)
     if args.remat:
         mcfg = dataclasses.replace(mcfg, remat=True)
+    if args.dropout is not None:
+        mcfg = dataclasses.replace(mcfg, dropout=args.dropout)
 
     if args.synthetic:
         from x2gnn_tpu.data.synthetic import synthetic_dataset
