@@ -130,25 +130,25 @@ def pad_budget_for(
     def round_up(v: int) -> int:
         return ((max(v, 1) + multiple - 1) // multiple) * multiple
 
-    deg = max((_max_degree(g) for g in graphs), default=1)
-    n_deg = round_up(deg)
-
-    # two-tier split: d_lo covers ~75% of atoms; n_hi = worst-case count
-    # of over-d_lo atoms in ANY batch_size-subset (composition-independent)
-    all_deg = np.concatenate([
+    # per-graph max(in, out) atom degrees, computed ONCE (this also runs
+    # per serving request via Predictor.predict -> pad_budget_for)
+    per_graph_deg = [
         np.maximum(np.bincount(g.edge_index[0], minlength=g.num_atoms),
                    np.bincount(g.edge_index[1], minlength=g.num_atoms))
         if g.num_edges else np.zeros(g.num_atoms, np.int64)
-        for g in graphs]) if graphs else np.zeros(1)
+        for g in graphs]
+    deg = max((int(d.max()) for d in per_graph_deg if d.size), default=1)
+    n_deg = round_up(max(deg, 1))
+
+    # two-tier split: d_lo covers ~75% of atoms; n_hi = worst-case count
+    # of over-d_lo atoms in ANY batch_size-subset (composition-independent)
+    all_deg = (np.concatenate(per_graph_deg)
+               if per_graph_deg else np.zeros(1))
     d_lo = int(-(-int(np.quantile(all_deg, 0.75)) // 8) * 8)
     n_hi = 0
     if 0 < d_lo < n_deg:
-        hi_counts = np.array([
-            int((np.maximum(
-                np.bincount(g.edge_index[0], minlength=g.num_atoms),
-                np.bincount(g.edge_index[1], minlength=g.num_atoms))
-                > d_lo).sum()) if g.num_edges else 0
-            for g in graphs])
+        hi_counts = np.array([int((d > d_lo).sum())
+                              for d in per_graph_deg])
         n_hi = ((worst_case(hi_counts) + 7) // 8) * 8
         if n_hi >= round_up(worst_case(n)):
             d_lo = n_hi = 0   # split would cover everything: disable
@@ -238,7 +238,12 @@ def pad_graphs(
     # last). Guarantees rows >= n_hi_budget have degree <= d_lo, so the
     # blocked kernel can run the (numerous) low-degree rows in a d_lo
     # window. Disabled when the budgets carry no split.
-    if d_lo > 0 and n_hi_budget > 0 and e0 > 0:
+    # NOTE: keep the split fields EVEN for an all-empty batch — n_hi/d_lo
+    # are static (non-pytree) fields, so zeroing them here would change
+    # the GraphBatch treedef mid-run (stack/tree_map mismatch, silent
+    # recompile). With e0 == 0 the sort is a no-op and the guard holds
+    # vacuously (all degrees 0 <= d_lo).
+    if d_lo > 0 and n_hi_budget > 0:
         deg_in = np.bincount(edge_dst[:e0], minlength=n_node)
         deg_out = np.bincount(edge_src[:e0], minlength=n_node)
         key = np.maximum(deg_in, deg_out)

@@ -46,7 +46,10 @@ def radius_graph(
     Matches atom_graph.py:42-45 (`(Dij < cutoff) & Dij.bool()`), with edges
     enumerated in row-major (src-major) order like np.argwhere.
     """
-    d = pairwise_distances(positions)
+    # pin the edge set to f64 distances: f32 positions can flip
+    # near-cutoff pairs (d = 4.9999999 vs 5.0), silently misaligning a
+    # cached (E, 338) edge_feat block built from the f64 graph
+    d = pairwise_distances(np.asarray(positions, np.float64))
     mask = (d < cutoff) & (d > 0.0)
     src, dst = np.nonzero(mask)
     edge_index = np.stack([src, dst]).astype(np.int32)

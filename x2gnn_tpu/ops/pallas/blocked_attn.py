@@ -16,8 +16,11 @@ Mosaic-specific formulation:
     the caller — this keeps the kernel's HBM traffic at the tiny
     (D, L*K) radial factors instead of gathering (D, L*HC) G rows;
   * the L basis blocks of the resulting G live in 128-aligned lane slices;
-  * the per-atom loop is a fori_loop so one atom's (D, D, HC) temporaries
-    are reused (VMEM ~ inputs + one atom's scratch).
+  * each grid step processes a whole block of `block_atoms` atoms
+    vectorized (VMEM ~ block_atoms x (D, D, HC)-scale temporaries — the
+    auto heuristic halves block_atoms to fit the ~16 MB scope); degree
+    budgets D > 40 switch to i-chunked kernels that sweep (i_chunk, D)
+    query sub-blocks so the temporaries stay bounded.
 
 Inputs (pre-gathered into the blocked layout by XLA):
     q_blk/k_blk/v_blk: (N, D, HC)    per-atom in/out edge projections
@@ -205,7 +208,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
 
 
 def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, valid_ref, out_ref, *, BA, D, H, C, L, K, IC):
+                       z_ref, valid_ref, out_ref, g_scratch,
+                       *, BA, D, H, C, L, K, IC):
     """Grid-chunked forward: the query (in-edge) axis is tiled by the
     SECOND grid dimension, so each step works on (BA, IC, D, HC)
     temporaries with purely static tiles — no in-kernel dynamic slicing
@@ -224,8 +228,16 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     q_c = q_ref[:].astype(jnp.float32)                   # (BA, IC, HC)
     z_c = z_ref[:]                                       # (BA, IC, Dk)
     validf = jnp.expand_dims(valid_ref[:], -1)           # (BA, IC, Dk, 1)
-    G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
-                 w_bd).reshape(BA, D, L * HC)
+
+    # G depends only on the atom block (grid dim 0): compute once on the
+    # first query chunk, reuse from VMEM scratch for the other D/IC - 1
+    # chunks instead of redoing the (BA*D, L*K) x (L*K, L*HC) matmul
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        g_scratch[:] = _mm(rbf_ref[:].reshape(BA * D, L * K),
+                           w_bd).reshape(BA, D, L * HC)
+
+    G_flat = g_scratch[:]
     v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
     k4 = jnp.expand_dims(k, 1)
     prod = jnp.expand_dims(q_c, 2) * k4                  # (BA, IC, Dk, HC)
@@ -248,7 +260,7 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
 def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
                        z_ref, valid_ref, g_ref,
                        dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref,
-                       *, BA, D, H, C, L, K, IC):
+                       g_scratch, *, BA, D, H, C, L, K, IC):
     """Grid-chunked backward. dq is tiled like q; dk/dv/de accumulate
     across the chunk sweep into atom-block-indexed output blocks (zeroed
     at chunk 0), dw/db accumulate across the whole grid (zeroed at
@@ -279,7 +291,12 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     z_c = z_ref[:]
     validf = jnp.expand_dims(valid_ref[:], -1)
     rbf = rbf_ref[:].reshape(BA * D, L * K)
-    G_flat = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+
+    @pl.when(pj == 0)
+    def _():
+        g_scratch[:] = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+
+    G_flat = g_scratch[:]
     v4 = jnp.expand_dims(v, 1)
     k4 = jnp.expand_dims(k, 1)
     prod = jnp.expand_dims(q_c, 2) * k4
@@ -340,7 +357,9 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     H = heads
     C = HC // H
     if i_chunk is None and D > 40:
-        i_chunk = 8
+        # largest divisor of D that is <= 8 (auto selection must not
+        # assert-crash on valid budgets whose D isn't a multiple of 8)
+        i_chunk = next(c for c in (8, 7, 6, 5, 4, 3, 2, 1) if D % c == 0)
     if i_chunk is not None:
         assert D % i_chunk == 0, f"D={D} not a multiple of i_chunk={i_chunk}"
     if block_atoms is None:
@@ -354,7 +373,8 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
         else:
             per_atom = D * D * lanes * 4 * 8  # ~8 live (D,D,HC) temporaries
         block_atoms = 8
-        while block_atoms > 1 and block_atoms * per_atom > 10 * 2 ** 20:
+        while block_atoms > 1 and (block_atoms * per_atom > 10 * 2 ** 20
+                                   or N % block_atoms):
             block_atoms //= 2
     BA = block_atoms
     assert N % BA == 0, f"N={N} must be a multiple of block_atoms={BA}"
@@ -427,6 +447,8 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                           cspecs["b"], cspecs["z"], cspecs["z"]],
                 out_specs=cspecs["q"],
                 out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((BA, D, L * HC), jnp.float32)],
                 interpret=interp,
             )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
               aux_a)
@@ -488,6 +510,8 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 out_specs=(cspecs["q"], cspecs["kv"], cspecs["kv"],
                            cspecs["e"], cspecs["w"], cspecs["b"]),
                 out_shape=out_shapes,
+                scratch_shapes=[
+                    pltpu.VMEM((BA, D, L * HC), jnp.float32)],
                 interpret=interp,
             )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
               aux_a, g)
