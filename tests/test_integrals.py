@@ -174,3 +174,65 @@ def test_edge_features_native_backend():
     assert feats.shape == (edge_index.shape[1], 338)
     assert np.isfinite(feats).all()
     assert np.abs(feats).max() > 0
+
+
+def test_contracted_shell_matches_analytic_overlap():
+    """Multi-primitive contraction: coefficients weight UNIT-NORMALIZED
+    primitives (the Gaussian94 convention). Regression for the missing
+    primitive norms — with raw ca*cb weights the contracted radial shape
+    is wrong and this analytic overlap fails badly."""
+    exps = np.array([8.0, 0.5])
+    coefs = np.array([0.4, 0.7])
+    basis = BasisSet({1: [Shell(0, exps, coefs)]})
+    R = 1.9  # bohr
+    S, _, _ = one_electron_matrices_numpy(
+        np.array([1, 1]), np.array([[0, 0, 0], [R * BOHR, 0, 0]]), basis)
+
+    def n1s(a):
+        return (2 * a / np.pi) ** 0.75
+
+    def s_prim(a, b, r):
+        return (np.pi / (a + b)) ** 1.5 * np.exp(-a * b * r * r / (a + b))
+
+    def pair_sum(r):
+        tot = 0.0
+        for ca, aa in zip(coefs, exps):
+            for cb, ab in zip(coefs, exps):
+                tot += ca * cb * n1s(aa) * n1s(ab) * s_prim(aa, ab, r)
+        return tot
+
+    expect = pair_sum(R) / pair_sum(0.0)      # diag(S)=1 normalization
+    assert S[0, 1] == pytest.approx(expect, rel=1e-10)
+    if native_available():
+        S2, _, _ = one_electron_matrices_cpp(
+            np.array([1, 1]), np.array([[0, 0, 0], [R * BOHR, 0, 0]]),
+            basis)
+        assert S2[0, 1] == pytest.approx(expect, rel=1e-10)
+
+
+def test_parse_gaussian94_sorts_and_scales():
+    """SP shells split and l-grouped (the 39-AO feature frame assumes
+    s...p...d...f order); the shell scale factor multiplies exponents
+    squared."""
+    from x2gnn_tpu.data.integrals.basis import parse_gaussian94
+
+    text = """
+C     0
+S   2   1.00
+      100.0   0.3
+       20.0   0.8
+SP   1   2.00
+        1.5   1.0   0.9
+D   1   1.00
+        0.8   1.0
+****
+"""
+    bs = parse_gaussian94(text)
+    shells = bs.shells_for(6)
+    assert [s.l for s in shells] == [0, 0, 1, 2]   # l-grouped
+    # scale factor 2.00 -> exponents x 4 for the SP shell only
+    sp_s = shells[1]
+    assert sp_s.exponents[0] == pytest.approx(1.5 * 4.0)
+    assert shells[2].exponents[0] == pytest.approx(1.5 * 4.0)
+    assert shells[0].exponents[0] == pytest.approx(100.0)
+    assert shells[3].exponents[0] == pytest.approx(0.8)

@@ -117,6 +117,10 @@ def load_dataset(
     """xyz file -> cached featurized MolGraphs (labels kept raw; apply
     `prepare_targets` for training targets)."""
     name = os.path.splitext(os.path.basename(xyz_path))[0]
+    # tag with the RESOLVED backend: an 'auto' tag would silently mix
+    # pyscf- and native-basis features across machines (not interchangeable)
+    from x2gnn_tpu.data.featurize import resolve_backend
+    backend = resolve_backend(backend)
     tag = f"{name}_{backend}_c{cutoff:g}" + (f"_n{limit}" if limit else "")
     cache = os.path.join(cache_dir, tag + ".npz")
     if os.path.exists(cache):

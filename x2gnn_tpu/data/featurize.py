@@ -60,6 +60,11 @@ def _pad_block(block: np.ndarray, replicate_reference_bug: bool
     """Align an AO block into the 39x39 frame. H atoms (9 AOs) sit at
     offset 2 so their s/p shells line up with heavy-atom valence shells."""
     ni, nj = block.shape
+    if replicate_reference_bug:
+        # the reference assigns f64 slices into float32 torch.zeros and
+        # norms in f32 (scf.py:61-114) — truncate BEFORE the norms so
+        # the parity flag is bit-for-bit, not just close
+        block = block.astype(np.float32)
     out = np.zeros((_HEAVY_NAO, _HEAVY_NAO), dtype=block.dtype)
     ri = slice(_H_OFFSET, _H_OFFSET + ni) if ni == _H_NAO else slice(0, ni)
     cj = slice(_H_OFFSET, _H_OFFSET + nj) if nj == _H_NAO else slice(0, nj)
@@ -82,8 +87,9 @@ def sa_compress(
 
     ao_slices: (num_atoms, 2) [start, stop) AO index per atom (the last two
     columns of PySCF's aoslice_by_atom). Returns (E, 338) float32.
-    Vectorized over edges per (ni, nj) shape class instead of the
-    reference's per-edge Python loop (scf.py:52-117).
+    Same per-edge structure as the reference (scf.py:52-117); the
+    integral build dominates featurization cost, so the loop here is
+    host-negligible in practice.
     """
     src, dst = np.asarray(edge_index[0]), np.asarray(edge_index[1])
     E = src.shape[0]
@@ -111,6 +117,16 @@ def pyscf_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def resolve_backend(backend: str) -> str:
+    """'auto' -> the backend that will actually run on THIS machine.
+    Callers that persist features (data/dataset.py cache tags) must tag
+    with the resolved name — the two quantum backends use different bases
+    (6-311+G(3df,2p) vs x2sv) and their features are not interchangeable."""
+    if backend == "auto":
+        return "pyscf" if pyscf_available() else "native"
+    return backend
 
 
 def _pyscf_matrices(mol: Molecule, basis: str = "6-311+g(3df,2p)"
@@ -156,8 +172,7 @@ def edge_features(
     backend: 'pyscf' | 'native' | 'zero' | 'auto' (pyscf if installed,
     else native).
     """
-    if backend == "auto":
-        backend = "pyscf" if pyscf_available() else "native"
+    backend = resolve_backend(backend)
     if backend == "zero":
         return np.zeros((edge_index.shape[1], EDGE_FEAT_DIM),
                         dtype=np.float32)

@@ -6,7 +6,7 @@ Gaussian basis; when PySCF (and its basis library) is unavailable, the
 built-in even-tempered fallback basis 'x2sv' reproduces the exact AO
 *structure* the 338-dim feature compression expects — H: 3s + 2p = 9 AOs,
 heavy atoms: 5s + 4p + 3d + 1f = 39 spherical AOs — with exponents defined
-by this project (alpha_i = a * b^i scaled by nuclear charge), NOT the
+by this project (alpha_i = a * b^(-i) scaled by nuclear charge), NOT the
 Pople exponents (which are external data). Models trained on either basis
 are self-consistent; checkpoints are not interchangeable across bases.
 """
@@ -24,7 +24,16 @@ ANGSTROM_TO_BOHR = 1.8897259886
 @dataclass
 class Shell:
     """One contracted shell: angular momentum l, primitive exponents and
-    contraction coefficients (same length)."""
+    contraction coefficients (same length).
+
+    Coefficients follow the universal convention: they weight
+    UNIT-NORMALIZED primitives (what Gaussian94/BSE files tabulate).
+    The engines consume `weighted_coefficients`, which folds the
+    alpha-dependent part of each primitive's norm in — without it, a
+    multi-primitive contraction has the wrong radial shape (primitive
+    norms vary ~1000x across a 6-311 core contraction) and the final
+    diag(S)=1 AO rescale can only fix overall scale, not the relative
+    primitive weights."""
 
     l: int
     exponents: np.ndarray
@@ -41,6 +50,15 @@ class Shell:
     def num_sph(self) -> int:
         return 2 * self.l + 1
 
+    @property
+    def weighted_coefficients(self) -> np.ndarray:
+        """coefficients x the alpha-dependent primitive norm
+        (2a/pi)^(3/4) (4a)^(l/2); alpha-independent factors are absorbed
+        by the engines' final diag(S)=1 normalization."""
+        a = self.exponents
+        norm = (2.0 * a / np.pi) ** 0.75 * (4.0 * a) ** (self.l / 2.0)
+        return self.coefficients * norm
+
 
 @dataclass
 class BasisSet:
@@ -56,7 +74,7 @@ class BasisSet:
 
 
 def _even_tempered(a0: float, beta: float, n: int) -> np.ndarray:
-    """alpha_i = a0 * beta^i, i = 0..n-1 (descending exponents)."""
+    """alpha_i = a0 * beta^(-i), i = 0..n-1 (descending from a0)."""
     return a0 * beta ** (-np.arange(n, dtype=np.float64))
 
 
@@ -112,19 +130,26 @@ def parse_gaussian94(text: str) -> BasisSet:
                 current_z = ATOMIC_NUMBER[tok[0].capitalize()]
                 shells.setdefault(current_z, [])
             continue
-        # shell header: e.g. "S   6   1.00" or "SP  3   1.00"
+        # shell header: e.g. "S   6   1.00" or "SP  3   1.00" — the third
+        # token is the Gaussian94 scale factor f (exponents scale by f^2)
         kind = tok[0].upper()
         nprim = int(tok[1])
+        scale2 = float(tok[2]) ** 2 if len(tok) > 2 else 1.0
         prims = []
         for _ in range(nprim):
             row = lines[i].replace("D", "E").replace("d", "E").split()
             i += 1
             prims.append([float(v) for v in row])
         prims = np.asarray(prims)
+        exps = prims[:, 0] * scale2
         if kind == "SP":
-            shells[current_z].append(Shell(0, prims[:, 0], prims[:, 1]))
-            shells[current_z].append(Shell(1, prims[:, 0], prims[:, 2]))
+            shells[current_z].append(Shell(0, exps, prims[:, 1]))
+            shells[current_z].append(Shell(1, exps, prims[:, 2]))
         else:
-            shells[current_z].append(
-                Shell(lmap[kind], prims[:, 0], prims[:, 1]))
+            shells[current_z].append(Shell(lmap[kind], exps, prims[:, 1]))
+    # group shells by angular momentum (stable): the feature compression
+    # (featurize.py _GROUPS) and PySCF's formatted bases both lay AOs out
+    # l-grouped (5s,4p,3d,1f) — BSE files interleave SP shells
+    for z in shells:
+        shells[z] = sorted(shells[z], key=lambda s: s.l)
     return BasisSet(shells)

@@ -28,7 +28,13 @@ def _load_library():
         return _lib
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # built on another machine (-march=native) or missing libgomp:
+        # fall back to the numpy engine instead of crashing the
+        # native_available() predicate
+        return None
     lib.x2_one_electron.restype = ctypes.c_int
     lib.x2_one_electron.argtypes = [
         ctypes.c_int,                                      # natoms
@@ -67,7 +73,10 @@ def _flatten_basis(numbers: np.ndarray, basis: BasisSet):
             prim_off.append(len(exps))
             prim_cnt.append(len(sh.exponents))
             exps.extend(sh.exponents.tolist())
-            coefs.extend(sh.coefficients.tolist())
+            # primitive norms folded in (Shell.weighted_coefficients) so
+            # the C++ loop's plain ca*cb contraction is correct for
+            # multi-primitive shells
+            coefs.extend(sh.weighted_coefficients.tolist())
             nao += sh.num_sph
         ao_slices[ia, 1] = nao
     return (np.asarray(shell_atom, np.int64), np.asarray(shell_l, np.int64),

@@ -298,8 +298,8 @@ def one_electron_matrices_numpy(
             Sc = np.zeros((na, nb))
             Tc = np.zeros((na, nb))
             Vc = np.zeros((na, nb))
-            for ea, ca in zip(sa.exponents, sa.coefficients):
-                for eb, cb in zip(sb.exponents, sb.coefficients):
+            for ea, ca in zip(sa.exponents, sa.weighted_coefficients):
+                for eb, cb in zip(sb.exponents, sb.weighted_coefficients):
                     w = ca * cb
                     s_blk, t_blk = primitive_ST(sa.l, sb.l, ea, eb, A, B)
                     Sc += w * s_blk
