@@ -114,7 +114,16 @@ def _parse_concat_xyz(filename: str, n_props: Optional[int]) -> List[Molecule]:
         numbers = np.empty(n_atoms, dtype=np.int32)
         positions = np.empty((n_atoms, 3), dtype=np.float64)
         for a in range(n_atoms):
+            if i >= n_lines:
+                raise ValueError(
+                    f"molecule {idx}: file truncated at atom {a}/{n_atoms} "
+                    f"(line {i})")
             tok = lines[i].split()
+            if not tok or tok[0] not in ATOMIC_NUMBER:
+                raise ValueError(
+                    f"molecule {idx}, line {i}: unknown element "
+                    f"{tok[0] if tok else '<empty>'!r} (supported: "
+                    f"{sorted(ATOMIC_NUMBER)})")
             numbers[a] = ATOMIC_NUMBER[tok[0]]
             positions[a] = [float(t.replace("*^", "E")) for t in tok[1:4]]
             i += 1
@@ -160,7 +169,7 @@ def atomization_target(
     """
     y = np.asarray(labels, dtype=np.float64)[:, target].copy()
     refs = ATOM_REF[target]
-    if np.isfinite(refs[1]):
+    if np.any(refs != 0):   # rows without atom refs are all-zero: skip
         for m, numbers in enumerate(numbers_per_mol):
             y[m] -= refs[numbers].sum()
     if target in ENERGY_TARGETS_EV:

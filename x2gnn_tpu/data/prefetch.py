@@ -44,7 +44,17 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
 
     def worker():
         try:
-            for item in it:
+            src = iter(it)
+            while True:
+                # re-check stop BEFORE advancing the source: a put that
+                # raced a consumer shutdown must not pull (and strand)
+                # one more item from the underlying iterator
+                if stop.is_set():
+                    return
+                try:
+                    item = next(src)
+                except StopIteration:
+                    break
                 if not _put(item):
                     return
         except BaseException as exc:    # re-raise on the consumer side
@@ -65,7 +75,15 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
             yield item
     finally:
         stop.set()
-        while not q.empty():            # unblock a parked producer
+        # drain until the producer has actually exited — a put already in
+        # flight when stop was set can land after a single drain pass
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)
+        while not q.empty():
             try:
                 q.get_nowait()
             except queue.Empty:

@@ -139,10 +139,11 @@ class X2GNN(nn.Module):
                          & (in_src[:, :, None] != out_dst[:, None, :]))
             if use_pallas:
                 # fused kernel computes the Legendre harmonics in-register
-                # from cos(theta); only z + masked id tables are needed
+                # from cos(theta); only z + masked id tables are needed.
+                # d already holds |ji| (same 1e-24 floor for |jk|).
+                d_out = jnp.sqrt(jnp.maximum((jk * jk).sum(-1), 1e-24))
                 norm = jnp.maximum(
-                    jnp.linalg.norm(ji, axis=-1)[:, :, None]
-                    * jnp.linalg.norm(jk, axis=-1)[:, None, :], 1e-12)
+                    d[:, :, None] * d_out[:, None, :], 1e-12)
                 z_cos = jnp.clip(cos_a / norm, -1.0, 1.0)
                 a_ids = jnp.where(batch.in_mask, in_src, -1).astype(
                     jnp.int32)

@@ -26,8 +26,10 @@ def copy_tree(tree: Any) -> Any:
     aliased buffers between repeated calls)."""
     def cp(x):
         if isinstance(x, jax.Array):
-            # preserve sharding (DP/EP batches are mesh-laid-out)
-            return jax.device_put(jnp.array(x), x.sharding)
+            # preserve sharding via host staging: jnp.array(x) would
+            # gather a mesh-sharded array onto ONE device first (OOM for
+            # trees that only fit sharded)
+            return jax.device_put(jax.device_get(x), x.sharding)
         if isinstance(x, np.ndarray):
             return np.array(x)
         return x
@@ -56,10 +58,14 @@ def tree_bitwise_diff(a: Any, b: Any) -> List[str]:
             n_bad = int(bad.reshape(-1, itemsize).any(axis=1).sum())
             detail = ""
             if np.issubdtype(na.dtype, np.number):
-                with np.errstate(all="ignore"):
-                    mx = float(np.nanmax(np.abs(
-                        na.astype(np.float64) - nb.astype(np.float64))))
-                detail = f", max |delta| = {mx:.3e}"
+                delta = np.abs(na.astype(np.float64)
+                               - nb.astype(np.float64))
+                finite = delta[np.isfinite(delta)]
+                if finite.size:
+                    detail = f", max |delta| = {float(finite.max()):.3e}"
+                else:
+                    # differing NaN/inf payloads: no finite delta exists
+                    detail = ", non-finite-only mismatch (NaN/inf bits)"
             diffs.append(f"{name}: {n_bad} element(s) differ{detail}")
     return diffs
 
