@@ -33,6 +33,9 @@ class ModelConfig:
     # molecule before the MLP (intensive targets, reference xgnn_poly_global).
     readout: str = "atomwise"
     mlp_depth: int = 3
+    # attention-weight dropout (sbftransformer_conv.py:153). Live on the
+    # segment layout only (single-device trainer threads the rng); other
+    # layouts / mesh trainers raise rather than silently ignore it.
     dropout: float = 0.0
     # beta-gated skip connection in the attention conv (the reference
     # defines the branch but uses beta=False everywhere,
