@@ -57,7 +57,7 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
-    from x2gnn_tpu.config import ModelConfig, TrainConfig, load_configs
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
     from x2gnn_tpu.data.batching import batch_iterator, pad_budget_for
     from x2gnn_tpu.data.molecule import (
         EXTENSIVE_TARGETS, report_calibration)
@@ -65,8 +65,26 @@ def main(argv=None):
     from x2gnn_tpu.train.loss import masked_mae
     from x2gnn_tpu.train.trainer import Trainer
 
+    # auto-discover the run's archived configs + standardization next to
+    # the checkpoint (the copies Trainer.fit wrote), like
+    # Predictor.from_run does — evaluating a cutoff-6.0/variant-v2 run
+    # with default configs would restore fine and report silent garbage
+    run_dir = os.path.dirname(os.path.abspath(args.ckpt))
+    if args.config is None:
+        cand = os.path.join(run_dir, "args.json")
+        if os.path.exists(cand):
+            args.config = cand
+            print(f"using {cand}", file=sys.stderr)
+    if args.stats is None:
+        cand = os.path.join(run_dir, "standardization.json")
+        if os.path.exists(cand):
+            args.stats = cand
+            print(f"using {cand}", file=sys.stderr)
     if args.config:
-        mcfg, tcfg = load_configs(args.config)
+        # handles BOTH the archived args.json (full resolved schema) and
+        # the reference's flat config.json
+        from x2gnn_tpu.infer import load_run_configs
+        mcfg, tcfg = load_run_configs(args.config)
     else:
         mcfg, tcfg = ModelConfig(), TrainConfig()
     tcfg = dataclasses.replace(tcfg, target=args.target,
@@ -80,7 +98,7 @@ def main(argv=None):
         from x2gnn_tpu.data.synthetic import synthetic_dataset
         graphs = synthetic_dataset(args.synthetic)
         targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
-        std = 1.0
+        std, multi = 1.0, False
     elif args.data_npz:
         from x2gnn_tpu.data.dataset import load_graph_cache, prepare_targets
         graphs = load_graph_cache(args.data_npz)
@@ -123,8 +141,14 @@ def main(argv=None):
         total += float(err)
         count += int(g)
     mae = total / max(count, 1)
+    # the eV->kcal calibration only applies to multi-property (QM9-style)
+    # energy targets; otherwise the MAE is in the dataset's label units
+    # (e.g. kcal for AID_kcal) — std != 1.0 alone (a --stats sigma) does
+    # not change the unit
+    calibrated = multi and report_calibration(args.target) != 1.0
     print(json.dumps({"mae": mae, "count": count,
-                      "unit": "kcal/mol" if std != 1.0 else "target units"}))
+                      "unit": ("kcal/mol" if calibrated
+                               else "dataset label units")}))
     return 0
 
 

@@ -27,11 +27,14 @@ def main():
 
     from x2gnn_tpu.data.dataset import (
         featurize_molecules, load_graph_cache, save_graph_cache)
+    from x2gnn_tpu.data.featurize import resolve_backend
     from x2gnn_tpu.data.molecule import read_xyz
 
+    # resolved name so train.py/evaluate.py's load_dataset finds the cache
+    backend = resolve_backend(args.backend)
     os.makedirs(args.cache_dir, exist_ok=True)
     name = os.path.splitext(os.path.basename(args.xyz))[0]
-    final = os.path.join(args.cache_dir, f"{name}_{args.backend}_c5.npz")
+    final = os.path.join(args.cache_dir, f"{name}_{backend}_c5.npz")
     if os.path.exists(final):
         print(f"{final} already exists", file=sys.stderr)
         return
@@ -41,14 +44,23 @@ def main():
     all_graphs = []
     for lo in range(0, len(mols), args.chunk):
         part = os.path.join(args.cache_dir,
-                            f"_{name}_{args.backend}_chunk{lo:05d}.npz")
+                            f"_{name}_{backend}_chunk{lo:05d}.npz")
+        expected = len(mols[lo:lo + args.chunk])
         if os.path.exists(part):
-            all_graphs.extend(load_graph_cache(part))
-            print(f"chunk {lo}: cached", file=sys.stderr, flush=True)
-            continue
+            cached = load_graph_cache(part)
+            # a chunk file is keyed by start offset only: resuming with
+            # a different --chunk must refeaturize, not silently drop or
+            # duplicate molecules in the final cache
+            if len(cached) == expected:
+                all_graphs.extend(cached)
+                print(f"chunk {lo}: cached", file=sys.stderr, flush=True)
+                continue
+            print(f"chunk {lo}: cached length {len(cached)} != "
+                  f"{expected} (different --chunk?) — refeaturizing",
+                  file=sys.stderr, flush=True)
         t0 = time.time()
         gs = featurize_molecules(mols[lo:lo + args.chunk],
-                                 backend=args.backend)
+                                 backend=backend)
         save_graph_cache(part, gs)
         all_graphs.extend(gs)
         print(f"chunk {lo}: {len(gs)} molecules in {time.time()-t0:.0f}s",
@@ -57,7 +69,7 @@ def main():
     print(f"wrote {final} ({len(all_graphs)} graphs)", file=sys.stderr)
     for lo in range(0, len(mols), args.chunk):
         part = os.path.join(args.cache_dir,
-                            f"_{name}_{args.backend}_chunk{lo:05d}.npz")
+                            f"_{name}_{backend}_chunk{lo:05d}.npz")
         if os.path.exists(part):
             os.remove(part)
 

@@ -223,13 +223,19 @@ def main(argv=None):
 
     state = None
     resume_from = args.resume
-    if (resume_from is None and args.auto_resume
-            and os.path.isdir(os.path.join(args.workdir, "ckpt_last"))):
-        resume_from = os.path.join(args.workdir, "ckpt_last")
+    if resume_from is None and args.auto_resume:
+        # newest full TrainState in the workdir (ckpt_last OR a newer
+        # ckpt_best — resuming from a stale ckpt_last would roll back)
+        from x2gnn_tpu.train.checkpoint import latest_checkpoint
+        resume_from = latest_checkpoint(args.workdir)
+    epochs = tcfg.max_epoch
     if resume_from:
         state = trainer.restore(resume_from)
-        print(f"resumed from {resume_from} at step "
-              f"{int(state.step)}", file=sys.stderr)
+        done = int(state.step) // trainer._steps_per_epoch()
+        epochs = max(tcfg.max_epoch - done, 0)
+        print(f"resumed from {resume_from} at step {int(state.step)} "
+              f"(~epoch {done}); {epochs} epochs remaining",
+              file=sys.stderr)
 
     if args.check_determinism:
         from x2gnn_tpu.utils.determinism import (
@@ -242,7 +248,7 @@ def main(argv=None):
         if not report["deterministic"]:
             return 3
 
-    _, summary = trainer.fit(epochs=tcfg.max_epoch, state=state,
+    _, summary = trainer.fit(epochs=epochs, state=state,
                              profile_dir=args.profile_dir)
     print(json.dumps(summary))
     return 0

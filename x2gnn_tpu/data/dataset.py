@@ -73,8 +73,12 @@ def save_graph_cache(path: str, graphs: Sequence[MolGraph]) -> None:
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     # uncompressed: compression made per-array reads decompress the whole
-    # file and cost minutes on large caches
-    np.savez(path, **payload)
+    # file and cost minutes on large caches. Atomic write: a crash
+    # mid-save must not leave a truncated npz that exists-checks (the
+    # resumable featurizer, load_dataset) would trust as complete.
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
 
 
 def load_graph_cache(path: str) -> List[MolGraph]:

@@ -326,7 +326,7 @@ class Trainer:
         """`profile_dir`: capture a jax.profiler device trace of the
         SECOND epoch (first epoch pays compilation) into that directory
         (TensorBoard-viewable) — the reference has no profiler at all."""
-        epochs = epochs or self.tcfg.max_epoch
+        epochs = self.tcfg.max_epoch if epochs is None else epochs
         os.makedirs(self.workdir, exist_ok=True)
         # archive the resolved configs (reference: trainer.py:85-86); also
         # what Predictor.from_run reads to rebuild the model
@@ -394,7 +394,9 @@ class Trainer:
             n_train = len(self.train_idx)
             steps = -(-n_train // self.tcfg.batch_size)
             record = {
-                "epoch": epoch + 1,
+                # global numbering: a resumed run continues where the
+                # restored step counter left off instead of restarting at 1
+                "epoch": epoch0 + epoch + 1,
                 "loss": float(loss),
                 "val_mae": float(val_err),
                 "best_val_mae": float(best_val),
@@ -417,7 +419,8 @@ class Trainer:
                 with open(log_path, "a") as f:
                     f.write(
                         f"{time.strftime('%m_%d_%H_%M_%S')}"
-                        f"\t[epoch]:{epoch + 1:03d}\t[Loss]:{loss:.7f}"
+                        f"\t[epoch]:{epoch0 + epoch + 1:03d}"
+                        f"\t[Loss]:{loss:.7f}"
                         f"\t[ValMAE]:{val_err:.7f}"
                         f"\t[TestMAE]:"
                         f"{test_err if test_err is not None else -1.0:.7f}"
