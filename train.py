@@ -53,6 +53,12 @@ def parse_args(argv=None):
                    help="shard molecules over all local devices")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--max-lr", type=float, default=None)
+    p.add_argument("--scheduler", choices=["warmup_exp", "plateau"],
+                   default=None,
+                   help="LR schedule: warmup_exp (reference shipped "
+                        "config) or plateau (the reference's broken "
+                        "ReduceLROnPlateau branch, train_ema.py:53, made "
+                        "to work: epoch-level val-MAE-driven reduction)")
     p.add_argument("--warmup-steps", type=int, default=None)
     p.add_argument("--ema-decay", type=float, default=None)
     p.add_argument("--profile-dir", default=None,
@@ -129,7 +135,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     if args.ckpt_every is not None:
         tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
-    for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps"):
+    for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps",
+                  "scheduler"):
         v = getattr(args, field)
         if v is not None:
             tcfg = dataclasses.replace(tcfg, **{field: v})

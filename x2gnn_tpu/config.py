@@ -81,9 +81,16 @@ class TrainConfig:
 
     max_epoch: int = 800
     max_lr: float = 1e-3
+    # 'warmup_exp' = LinearWarmupExponentialDecay (the reference's shipped
+    # config); 'plateau' = the ReduceLROnPlateau branch (train_ema.py:53)
+    # made to actually work: epoch-level val-MAE-driven LR reduction with
+    # factor=reduce_factor, patience, min lr = max_lr * decay_rate.
+    scheduler: str = "warmup_exp"
     warmup_steps: int = 3000
     decay_steps: int = 3_000_000
     decay_rate: float = 0.01
+    reduce_factor: float = 0.7           # config.json 'reduce_factor'
+    patience: int = 3                    # config.json 'patience'
     grad_clip: bool = True
     max_grad: float = 100.0
     ema_decay: float = 0.95
@@ -125,8 +132,11 @@ _REFERENCE_KEY_MAP = {
     "batch_size": ("train", "batch_size"),
     "random_seed": ("train", "random_seed"),
     "division": ("train", "division"),
+    "scheduler": ("train", "scheduler"),
     "warmup_steps": ("train", "warmup_steps"),
     "decay_steps": ("train", "decay_steps"),
+    "reduce_factor": ("train", "reduce_factor"),
+    "patience": ("train", "patience"),
     "max_epoch": ("train", "max_epoch"),
     "grad_clip": ("train", "grad_clip"),
     "max_grad": ("train", "max_grad"),
@@ -155,6 +165,13 @@ def load_configs(path_or_dict) -> Tuple[ModelConfig, TrainConfig]:
         which, name = _REFERENCE_KEY_MAP[key]
         if name == "division":
             value = tuple(value)
+        if name == "scheduler":
+            # reference names (train_ema.py:49) -> ours; unknown values
+            # fail fast like the reference's assert
+            value = {"LinearWarmupExponentialDecay": "warmup_exp",
+                     "ReduceLROnPlateau": "plateau",
+                     "warmup_exp": "warmup_exp",
+                     "plateau": "plateau"}[value]
         (model_kw if which == "model" else train_kw)[name] = value
     return ModelConfig(**model_kw), TrainConfig(**train_kw)
 

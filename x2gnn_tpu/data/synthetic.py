@@ -38,6 +38,78 @@ def random_molecule(rng: np.random.Generator, n_atoms: int,
     return numbers, pos
 
 
+def independent_particle_energy(
+    numbers: np.ndarray,
+    positions: np.ndarray,
+    S: np.ndarray,
+    H_over_nelec: np.ndarray,
+) -> float:
+    """Physically-derived label: non-interacting electronic energy from the
+    native one-electron integrals plus nuclear repulsion (Hartree).
+
+    E = sum over occupied orbitals of the generalized eigenvalues of
+    (Hcore, S), doubly filled (one singly-occupied level for odd electron
+    counts), + sum_{i<j} Z_i Z_j / r_ij. This is an extended-Hueckel-style
+    total energy: a smooth, extensive function of composition AND geometry
+    that a model reading the integral edge features can in principle learn
+    exactly — the honest substitute for QM9 labels in an offline
+    environment (QM9 raw data is unobtainable here; the reference's
+    labels come from DFT, train_ema.py:28-38).
+
+    Uses canonical orthogonalization (S eigenvalues < 1e-8 dropped) so
+    near-linear-dependent random geometries cannot blow up the solve.
+    """
+    import scipy.linalg as sla
+
+    nelec = int(np.asarray(numbers).sum())
+    H = np.asarray(H_over_nelec) * max(nelec, 1)
+    s_val, s_vec = np.linalg.eigh(np.asarray(S))
+    keep = s_val > 1e-8
+    X = s_vec[:, keep] / np.sqrt(s_val[keep])
+    eps = sla.eigh(X.T @ H @ X, eigvals_only=True)
+    nocc, odd = divmod(nelec, 2)
+    e_el = 2.0 * eps[:nocc].sum() + (eps[nocc] if odd else 0.0)
+    pos_bohr = np.asarray(positions, np.float64) * 1.8897259886
+    z = np.asarray(numbers, np.float64)
+    diff = pos_bohr[:, None, :] - pos_bohr[None, :, :]
+    r = np.sqrt((diff ** 2).sum(-1))
+    iu = np.triu_indices(len(z), k=1)
+    e_nn = (z[iu[0]] * z[iu[1]] / r[iu]).sum()
+    return float(e_el + e_nn)
+
+
+def synthetic_labeled_graph(
+    index: int,
+    seed: int = 7,
+    mean_atoms: int = 13,
+    min_atoms: int = 4,
+    max_atoms: int = 26,
+    cutoff: float = 5.0,
+) -> MolGraph:
+    """One deterministic synthetic molecule with NATIVE integral edge
+    features and the independent-particle energy label.
+
+    Per-index rng streams make generation resumable and order-independent
+    (chunked featurization can restart anywhere). Heterogeneous sizes
+    (normal around `mean_atoms`, clipped) give QM9-like batch-occupancy
+    statistics for the bucketed-budget training path.
+    """
+    from x2gnn_tpu.data.featurize import EDGE_FEAT_DIM, sa_compress
+    from x2gnn_tpu.data.integrals import one_electron_matrices
+
+    rng = np.random.default_rng([seed, index])
+    n = int(np.clip(round(rng.normal(mean_atoms, 4.0)),
+                    min_atoms, max_atoms))
+    numbers, pos = random_molecule(rng, n)
+    g = build_mol_graph(numbers, pos, y=np.array([0.0]), cutoff=cutoff,
+                        edge_feat_dim=EDGE_FEAT_DIM, index=index)
+    S, H_n, ao = one_electron_matrices(numbers, pos)
+    g.edge_feat[:] = sa_compress(S, H_n, ao, g.edge_index)
+    g.y = np.array([independent_particle_energy(numbers, pos, S, H_n)],
+                   dtype=np.float64)
+    return g
+
+
 def synthetic_dataset(
     num_molecules: int,
     mean_atoms: int = 18,

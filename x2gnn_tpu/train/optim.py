@@ -37,34 +37,108 @@ def warmup_exponential_decay(
     return schedule
 
 
-def reduce_on_plateau(
-    max_lr: float,
-    factor: float = 0.7,
-    patience: int = 3,
-    min_lr_ratio: float = 0.01,
-):
-    """Epoch-level plateau LR reduction (optax.contrib.reduce_on_plateau).
+class PlateauController:
+    """Host-side ReduceLROnPlateau with torch semantics (train_ema.py:53:
+    mode='min', factor=reduce_factor, patience, min_lr=max_lr*decay_rate;
+    torch defaults threshold=1e-4 rel, cooldown=0).
 
-    The reference HAS a ReduceLROnPlateau branch (train_ema.py:49-53) but
-    steps the scheduler per batch (trainer.py:47), which torch's plateau
-    scheduler cannot consume — this is the working equivalent, driven by
-    the validation metric once per epoch.
+    The reference's plateau branch is BROKEN — it steps the scheduler per
+    batch (trainer.py:47) with no metric, which torch's plateau scheduler
+    cannot consume. Here the controller runs once per epoch on the val
+    MAE and writes the resulting LR scale into the optimizer state
+    (`set_plateau_scale`), so the jitted train step never changes shape.
     """
-    return optax.contrib.reduce_on_plateau(
-        factor=factor, patience=patience,
-        min_scale=min_lr_ratio)
+
+    def __init__(self, factor: float = 0.7, patience: int = 3,
+                 min_scale: float = 0.01, threshold: float = 1e-4,
+                 scale: float = 1.0):
+        self.factor = factor
+        self.patience = patience
+        self.min_scale = min_scale
+        self.threshold = threshold
+        self.scale = scale
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        """Consume one epoch's validation metric; return the LR scale."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad_epochs = 0
+        return self.scale
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return opt_state with the injected `plateau_scale` hyperparameter
+    replaced (searched through wrapper states such as MultiSteps).
+    Same treedef/dtypes, so no recompilation of the jitted step."""
+    def rec(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "plateau_scale" in hp:
+            hp = dict(hp)
+            hp["plateau_scale"] = jnp.asarray(scale, jnp.float32)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple):
+            children = [rec(c) for c in s]
+            return (type(s)(*children) if hasattr(s, "_fields")
+                    else tuple(children))
+        return s
+
+    return rec(opt_state)
+
+
+def get_plateau_scale(opt_state) -> float:
+    """Read the current plateau LR scale (1.0 if the optimizer has none).
+    Lets a resumed run re-seed its PlateauController from the restored
+    optimizer state instead of restarting at full LR."""
+    found = [1.0]
+
+    def rec(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "plateau_scale" in hp:
+            found[0] = float(hp["plateau_scale"])
+            return
+        if isinstance(s, tuple):
+            for c in s:
+                rec(c)
+
+    rec(opt_state)
+    return found[0]
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """clip-by-global-norm -> Adam(schedule), mirroring the reference's
-    clip_grad_norm_ + Adam + per-batch scheduler composition."""
-    schedule = warmup_exponential_decay(
-        cfg.max_lr, cfg.warmup_steps, cfg.decay_steps, cfg.decay_rate)
-    steps = []
-    if cfg.grad_clip:
-        steps.append(optax.clip_by_global_norm(cfg.max_grad))
-    steps.append(optax.adam(learning_rate=schedule))
-    opt = optax.chain(*steps)
+    clip_grad_norm_ + Adam + per-batch scheduler composition.
+
+    cfg.scheduler='plateau' selects the ReduceLROnPlateau path
+    (train_ema.py:49-53): constant max_lr scaled by an injected
+    `plateau_scale` hyperparameter that PlateauController lowers on val
+    stalls (min scale = decay_rate, matching torch min_lr)."""
+    if cfg.scheduler == "plateau":
+        min_scale = cfg.decay_rate
+
+        def build(plateau_scale):
+            lr = cfg.max_lr * jnp.maximum(plateau_scale, min_scale)
+            steps = []
+            if cfg.grad_clip:
+                steps.append(optax.clip_by_global_norm(cfg.max_grad))
+            steps.append(optax.adam(learning_rate=lr))
+            return optax.chain(*steps)
+
+        opt = optax.inject_hyperparams(build)(plateau_scale=1.0)
+    else:
+        schedule = warmup_exponential_decay(
+            cfg.max_lr, cfg.warmup_steps, cfg.decay_steps, cfg.decay_rate)
+        steps = []
+        if cfg.grad_clip:
+            steps.append(optax.clip_by_global_norm(cfg.max_grad))
+        steps.append(optax.adam(learning_rate=schedule))
+        opt = optax.chain(*steps)
     if cfg.accum_steps > 1:
         # gradient accumulation: updates are zero except every
         # accum_steps-th micro-batch, where the AVERAGED gradient is

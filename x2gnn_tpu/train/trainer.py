@@ -305,16 +305,17 @@ class Trainer:
             state, loss = self._train_step(state, batch)
             losses.append(loss)
             counts.append(batch.graph_mask.sum())
-        total, count = 0.0, 0
-        for loss, g in zip(losses, counts):
-            g = int(np.asarray(g))
-            total += float(loss) * g
-            count += g
+        # ONE bulk fetch at epoch end (a float() per item would serialize
+        # a host<->device round trip per step on the remote-attached TPU)
+        losses, counts = jax.device_get((losses, counts))
+        total = sum(float(l) * int(g) for l, g in zip(losses, counts))
+        count = sum(int(g) for g in counts)
         return state, total / max(count, 1)
 
     def evaluate(self, state: TrainState, idx) -> float:
         accum = [self._eval_step(state.ema.params, batch)
                  for batch in self._device_batches(idx)]
+        accum = jax.device_get(accum)   # bulk fetch, not a sync per batch
         total = sum(float(err) for err, _ in accum)
         count = sum(int(g) for _, g in accum)
         return total / max(count, 1)
@@ -343,6 +344,20 @@ class Trainer:
         # epochs of a resumed run inside the gate window are never saved
         epoch0 = int(np.asarray(state.step)) // self._steps_per_epoch()
 
+        plateau = None
+        if self.tcfg.scheduler == "plateau":
+            from x2gnn_tpu.train.optim import (
+                PlateauController, get_plateau_scale)
+            # a resumed run re-seeds the scale from the restored optimizer
+            # state (best/patience counters restart — documented loss)
+            plateau = PlateauController(
+                factor=self.tcfg.reduce_factor,
+                patience=self.tcfg.patience,
+                min_scale=self.tcfg.decay_rate,
+                scale=(get_plateau_scale(state.opt_state)
+                       if resumed else 1.0))
+        plateau_logged = plateau.scale if plateau is not None else None
+
         best_val, test_err = None, None
         best_meta = os.path.join(self.workdir, "ckpt_best_val.json")
         if resumed:
@@ -367,6 +382,13 @@ class Trainer:
             else:
                 state, loss = self.run_epoch(state)
             val_err = self.evaluate(state, self.val_idx)
+            if plateau is not None:
+                from x2gnn_tpu.train.optim import set_plateau_scale
+                new_scale = plateau.step(val_err)
+                if new_scale != plateau_logged:
+                    state = state._replace(opt_state=set_plateau_scale(
+                        state.opt_state, new_scale))
+                plateau_logged = new_scale
             improved = best_val is None or val_err <= best_val
             if improved:
                 best_val = val_err
@@ -413,6 +435,8 @@ class Trainer:
                     seconds, 1e-9),
                 "molecules_per_sec": n_train / max(seconds, 1e-9),
             }
+            if plateau_logged is not None:
+                record["lr_scale"] = plateau_logged
             if log_every_epoch:
                 with open(jsonl_path, "a") as f:
                     f.write(json.dumps(record) + "\n")
