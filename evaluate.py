@@ -39,6 +39,10 @@ def parse_args(argv=None):
                    choices=["auto", "pyscf", "native", "zero"])
     p.add_argument("--cache-dir", default="./processed")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--allow-basis-mismatch", action="store_true",
+                   help="downgrade the featurization-basis provenance "
+                        "check (ckpt provenance.json vs this data's "
+                        "basis) from an error to a warning")
     p.add_argument("--use-live-params", action="store_true",
                    help="evaluate the live (non-EMA) weights; default is "
                         "the EMA weights like the reference (trainer.py:57)")
@@ -99,8 +103,11 @@ def main(argv=None):
         graphs = synthetic_dataset(args.synthetic)
         targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
         std, multi = 1.0, False
+        data_basis = "synthetic-random"
     elif args.data_npz:
-        from x2gnn_tpu.data.dataset import load_graph_cache, prepare_targets
+        from x2gnn_tpu.data.dataset import (
+            load_graph_cache, prepare_targets, read_cache_basis)
+        data_basis = read_cache_basis(args.data_npz)
         graphs = load_graph_cache(args.data_npz)
         if args.limit:
             graphs = graphs[:args.limit]
@@ -118,6 +125,21 @@ def main(argv=None):
         targets = prepare_targets(graphs, args.target)
         multi = graphs and graphs[0].y.shape[0] == 12
         std = report_calibration(args.target) if multi else 1.0
+        from x2gnn_tpu.data.featurize import basis_provenance
+        data_basis = basis_provenance(args.backend)
+
+    # provenance guard: evaluating a checkpoint on features from the
+    # other quantum basis is silently wrong (VERDICT: pyscf 6-311 vs
+    # native x2sv features are not interchangeable)
+    from x2gnn_tpu.data.featurize import check_basis_compatible
+    run_basis = None
+    prov = os.path.join(run_dir, "provenance.json")
+    if os.path.exists(prov):
+        with open(prov) as f:
+            run_basis = json.load(f).get("basis")
+    check_basis_compatible(run_basis, data_basis,
+                           allow=args.allow_basis_mismatch,
+                           context=f" (ckpt {args.ckpt})")
 
     if args.stats:
         stats = json.load(open(args.stats))

@@ -27,7 +27,7 @@ def main():
 
     from x2gnn_tpu.data.dataset import (
         featurize_molecules, load_graph_cache, save_graph_cache)
-    from x2gnn_tpu.data.featurize import resolve_backend
+    from x2gnn_tpu.data.featurize import basis_provenance, resolve_backend
     from x2gnn_tpu.data.molecule import read_xyz
 
     # resolved name so train.py/evaluate.py's load_dataset finds the cache
@@ -61,11 +61,13 @@ def main():
         t0 = time.time()
         gs = featurize_molecules(mols[lo:lo + args.chunk],
                                  backend=backend)
-        save_graph_cache(part, gs)
+        save_graph_cache(part, gs,
+                         basis=basis_provenance(backend))
         all_graphs.extend(gs)
         print(f"chunk {lo}: {len(gs)} molecules in {time.time()-t0:.0f}s",
               file=sys.stderr, flush=True)
-    save_graph_cache(final, all_graphs)
+    save_graph_cache(final, all_graphs,
+                     basis=basis_provenance(backend))
     print(f"wrote {final} ({len(all_graphs)} graphs)", file=sys.stderr)
     for lo in range(0, len(mols), args.chunk):
         part = os.path.join(args.cache_dir,

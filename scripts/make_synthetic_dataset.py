@@ -69,7 +69,7 @@ def main():
             t0 = time.time()
             jobs = [(i, args.seed, args.mean_atoms) for i in range(lo, hi)]
             gs = pool.map(_make_one, jobs, chunksize=16)
-            save_graph_cache(part, gs)
+            save_graph_cache(part, gs, basis="x2sv")
             done = hi
             rate = args.chunk / max(time.time() - t0, 1e-9)
             print(f"chunk {lo}: {hi - lo} molecules in "
@@ -79,7 +79,7 @@ def main():
     all_graphs = []
     for part in chunk_paths:
         all_graphs.extend(load_graph_cache(part))
-    save_graph_cache(final, all_graphs)
+    save_graph_cache(final, all_graphs, basis="x2sv")
     print(f"wrote {final} ({len(all_graphs)} graphs) in "
           f"{(time.time() - t_start) / 60:.0f} min total", file=sys.stderr)
     for part in chunk_paths:

@@ -59,3 +59,36 @@ def test_reference_bug_flag():
         a = np.ones(shape)
         np.testing.assert_array_equal(
             _pad_block(a, False), _pad_block(a, True))
+
+
+def test_basis_provenance_tags_and_compatibility(tmp_path):
+    from x2gnn_tpu.data.dataset import (
+        save_graph_cache, read_cache_basis, load_graph_cache)
+    from x2gnn_tpu.data.featurize import (
+        BACKEND_BASIS, check_basis_compatible)
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    import pytest as _pytest
+    import warnings
+
+    gs = synthetic_dataset(3, mean_atoms=6, seed=1)
+    path = str(tmp_path / "c.npz")
+    save_graph_cache(path, gs, basis=BACKEND_BASIS["native"])
+    assert read_cache_basis(path) == "x2sv"
+    assert len(load_graph_cache(path)) == 3    # meta key does not break load
+    # untagged cache reads as unknown
+    path2 = str(tmp_path / "c2.npz")
+    save_graph_cache(path2, gs)
+    assert read_cache_basis(path2) == "unknown"
+
+    # known-known mismatch refuses; allow downgrades to a warning
+    with _pytest.raises(ValueError, match="basis mismatch"):
+        check_basis_compatible("6-311+g(3df,2p)", "x2sv")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        check_basis_compatible("6-311+g(3df,2p)", "x2sv", allow=True)
+    assert len(w) == 1
+    # unknown / None / equal tags pass silently
+    check_basis_compatible("unknown", "x2sv")
+    check_basis_compatible(None, "x2sv")
+    check_basis_compatible("x2sv", "unknown")
+    check_basis_compatible("x2sv", "x2sv")

@@ -109,3 +109,38 @@ def test_packed_transfer_matches_default(make_molecule, rng, tmp_path):
     base = Predictor.from_run(wd).predict(graphs)
     packed = Predictor.from_run(wd, packed_transfer=True).predict(graphs)
     np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-7)
+
+
+def test_predictor_refuses_basis_mismatch(make_molecule, rng):
+    """A run trained on pyscf-basis features must not silently accept
+    native/zero-featurized molecules (VERDICT: the bases are not
+    numerically interchangeable)."""
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.data.molecule import Molecule
+    import jax
+
+    cfg = ModelConfig(conv_layers=1, in_channels=16, embedding_size=16,
+                      heads=2, sbf_dim=2, rbf_dim=2)
+    numbers, pos = make_molecule(n_atoms=5)
+    from x2gnn_tpu.data.graphs import build_mol_graph
+    g = build_mol_graph(numbers, pos, y=np.array([0.0]),
+                        edge_feat_dim=cfg.edge_feat_dim)
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    batch = pad_graphs([g], pad_budget_for([g], 1))
+    model = X2GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    pred = Predictor(cfg, params, basis="6-311+g(3df,2p)")
+    mols = [Molecule(numbers, pos, np.array([0.0]))]
+    with pytest.raises(ValueError, match="basis mismatch"):
+        pred.predict_molecules(mols, backend="zero")
+    # explicit override works (warning, not error)
+    pred2 = Predictor(cfg, params, basis="6-311+g(3df,2p)",
+                      allow_basis_mismatch=True)
+    with pytest.warns(UserWarning, match="basis mismatch"):
+        out = pred2.predict_molecules(mols, backend="zero")
+    assert out.shape == (1,)
+    # matching basis passes silently; unknown provenance is not checked
+    Predictor(cfg, params, basis="zero").predict_molecules(
+        mols, backend="zero")
+    Predictor(cfg, params).predict_molecules(mols, backend="zero")

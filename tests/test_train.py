@@ -360,10 +360,12 @@ def test_plateau_scale_roundtrip_through_optimizer_state():
 def test_trainer_plateau_schedule_reduces_lr(make_molecule, rng, tmp_path):
     import json as json_
     graphs, targets = _tiny_dataset(make_molecule, rng)
-    # random targets stall validation immediately -> plateau must fire
-    targets = rng.normal(size=len(targets)).astype(np.float32) * 100
+    # lr=0 freezes the params: val MAE is bitwise identical every epoch,
+    # so with patience=0 the plateau must fire deterministically from
+    # epoch 2 on (random targets were flaky — early epochs can keep
+    # improving by more than the 1e-4 relative threshold)
     cfg = dataclasses.replace(TINY_TRAIN, scheduler="plateau",
-                              reduce_factor=0.5, patience=0,
+                              max_lr=0.0, reduce_factor=0.5, patience=0,
                               decay_rate=0.01)
     model = X2GNN(TINY_MODEL)
     wd = str(tmp_path / "plateau")

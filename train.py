@@ -159,6 +159,7 @@ def main(argv=None):
         graphs = synthetic_dataset(args.synthetic)
         targets = np.array([g.y[0] for g in graphs], dtype=np.float32)
         std = 1.0
+        data_basis = "synthetic-random"
     elif args.data_npz:
         from x2gnn_tpu.data.dataset import load_graph_cache, prepare_targets
         graphs = load_graph_cache(args.data_npz)
@@ -168,6 +169,8 @@ def main(argv=None):
         # unit calibration only applies to 12-property QM9 labels
         multi = graphs and graphs[0].y.shape[0] == 12
         std = report_calibration(tcfg.target) if multi else 1.0
+        from x2gnn_tpu.data.dataset import read_cache_basis
+        data_basis = read_cache_basis(args.data_npz)
     else:
         if not args.data:
             print("need --data or --synthetic", file=sys.stderr)
@@ -179,6 +182,16 @@ def main(argv=None):
         targets = prepare_targets(graphs, tcfg.target)
         multi = graphs and graphs[0].y.shape[0] == 12
         std = report_calibration(tcfg.target) if multi else 1.0
+        from x2gnn_tpu.data.featurize import basis_provenance
+        data_basis = basis_provenance(args.backend)
+
+    # record featurization provenance next to the checkpoints: evaluating
+    # this run on features from the OTHER quantum basis (pyscf
+    # 6-311+G(3df,2p) vs native x2sv, scf.py:31) would be silently wrong —
+    # evaluate.py / Predictor compare against this tag and refuse
+    os.makedirs(args.workdir, exist_ok=True)
+    with open(os.path.join(args.workdir, "provenance.json"), "w") as f:
+        json.dump({"basis": data_basis}, f)
 
     if args.standardize:
         import numpy as np

@@ -52,9 +52,15 @@ def featurize_molecules(
         return pool.map(_featurize_one, jobs, chunksize=16)
 
 
-def save_graph_cache(path: str, graphs: Sequence[MolGraph]) -> None:
-    """Concatenated ragged arrays + offsets in one npz."""
+def save_graph_cache(path: str, graphs: Sequence[MolGraph],
+                     basis: Optional[str] = None) -> None:
+    """Concatenated ragged arrays + offsets in one npz.
+
+    `basis` tags the featurization provenance ('6-311+g(3df,2p)' for
+    pyscf, 'x2sv' for the native engine — featurize.BACKEND_BASIS);
+    evaluate.py / Predictor check it against the training run's tag."""
     payload = {
+        "basis": np.array(basis if basis is not None else "unknown"),
         "numbers": np.concatenate([g.numbers for g in graphs]),
         "positions": np.concatenate([g.positions for g in graphs]),
         "edge_index": np.concatenate(
@@ -79,6 +85,15 @@ def save_graph_cache(path: str, graphs: Sequence[MolGraph]) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, path)
+
+
+def read_cache_basis(path: str) -> str:
+    """Featurization-basis tag of a graph cache ('unknown' for caches
+    written before provenance tagging)."""
+    with np.load(path) as zf:
+        if "basis" in zf.files:
+            return str(zf["basis"])
+    return "unknown"
 
 
 def load_graph_cache(path: str) -> List[MolGraph]:
@@ -139,7 +154,8 @@ def load_dataset(
         mols = mols[:limit]
     graphs = featurize_molecules(mols, cutoff=cutoff, backend=backend,
                                  num_workers=num_workers)
-    save_graph_cache(cache, graphs)
+    from x2gnn_tpu.data.featurize import basis_provenance
+    save_graph_cache(cache, graphs, basis=basis_provenance(backend))
     return graphs
 
 

@@ -155,6 +155,44 @@ def pyscf_available() -> bool:
         return False
 
 
+# Featurization-basis provenance (scf.py:31): the pyscf backend computes
+# exact 6-311+G(3df,2p) integrals; the native engine uses the project-
+# defined 'x2sv' basis (same AO structure, different exponents) — their
+# features are NOT numerically interchangeable. Caches and training runs
+# are tagged with this string so evaluate.py / Predictor can refuse to
+# mix them silently.
+BACKEND_BASIS = {"pyscf": "6-311+g(3df,2p)", "native": "x2sv",
+                 "zero": "zero"}
+
+
+def basis_provenance(backend: str) -> str:
+    """Basis tag for a (possibly 'auto') featurizer backend."""
+    return BACKEND_BASIS[resolve_backend(backend)]
+
+
+def check_basis_compatible(run_basis, data_basis, allow: bool = False,
+                           context: str = "") -> None:
+    """Refuse (or warn with allow=True) when a checkpoint's featurization
+    basis and the evaluation data's basis are both known and different.
+    'unknown'/None tags (pre-provenance caches) are not checked."""
+    def known(b):
+        return b not in (None, "", "unknown")
+
+    if known(run_basis) and known(data_basis) and run_basis != data_basis:
+        msg = (f"featurization basis mismatch{context}: the checkpoint "
+               f"was trained on '{run_basis}' features but this data is "
+               f"'{data_basis}' — the two bases (pyscf 6-311+G(3df,2p), "
+               "scf.py:31, vs the native 'x2sv') are not numerically "
+               "interchangeable and predictions would be silently wrong. "
+               "Refeaturize with the matching backend, or override with "
+               "allow_basis_mismatch / --allow-basis-mismatch.")
+        if allow:
+            import warnings
+            warnings.warn(msg)
+        else:
+            raise ValueError(msg)
+
+
 def resolve_backend(backend: str) -> str:
     """'auto' -> the backend that will actually run on THIS machine.
     Callers that persist features (data/dataset.py cache tags) must tag

@@ -73,7 +73,9 @@ class Predictor:
 
     def __init__(self, model_cfg: ModelConfig, params: Any,
                  stats: Optional[dict] = None, batch_size: int = 32,
-                 packed_transfer: bool = False):
+                 packed_transfer: bool = False,
+                 basis: Optional[str] = None,
+                 allow_basis_mismatch: bool = False):
         import jax
         from x2gnn_tpu.models import X2GNN
         self.mcfg = model_cfg
@@ -81,6 +83,12 @@ class Predictor:
         self.params = params
         self.stats = stats              # {"mu": ..., "sigma": ...} or None
         self.batch_size = batch_size
+        # featurization provenance of the training run (provenance.json):
+        # predict_xyz/predict_molecules refuse a different quantum basis
+        # unless allow_basis_mismatch (predict(graphs) cannot check —
+        # pre-featurized MolGraphs carry no tag)
+        self.basis = basis
+        self.allow_basis_mismatch = allow_basis_mismatch
         # packed_transfer: ship each request as TWO flat buffers instead
         # of ~28 arrays. Wins when per-put round trips dominate (many
         # small arrays, high-latency link); loses when one large array
@@ -171,6 +179,10 @@ class Predictor:
         if os.path.exists(stats_path):
             with open(stats_path) as f:
                 stats = json.load(f)
+        prov_path = os.path.join(workdir, "provenance.json")
+        if "basis" not in kw and os.path.exists(prov_path):
+            with open(prov_path) as f:
+                kw["basis"] = json.load(f).get("basis")
         # ckpt_best only exists after TrainConfig.ckpt_after_epoch
         # (default 100); fall back to the periodic ckpt_last
         ckpt = os.path.join(workdir, "ckpt_best")
@@ -186,6 +198,12 @@ class Predictor:
                                    stats=stats, **kw)
 
     # ---- prediction ---------------------------------------------------
+    def _check_basis(self, backend: str) -> None:
+        from x2gnn_tpu.data.featurize import (
+            basis_provenance, check_basis_compatible)
+        check_basis_compatible(self.basis, basis_provenance(backend),
+                               allow=self.allow_basis_mismatch)
+
     def predict(self, graphs: Sequence,
                 batch_size: Optional[int] = None) -> np.ndarray:
         """Per-molecule predictions (physical units) for featurized
@@ -212,6 +230,7 @@ class Predictor:
                     batch_size: Optional[int] = None) -> np.ndarray:
         """Featurize a concatenated-xyz file (identically to training —
         the transfer-eval contract, README.md:21-22) and predict."""
+        self._check_basis(backend)
         from x2gnn_tpu.data.dataset import load_dataset
         graphs = load_dataset(xyz_path, cache_dir=cache_dir,
                               cutoff=self.mcfg.cutoff, backend=backend,
@@ -222,6 +241,7 @@ class Predictor:
                           backend: str = "auto",
                           batch_size: Optional[int] = None) -> np.ndarray:
         """Featurize in-memory Molecule objects and predict."""
+        self._check_basis(backend)
         from x2gnn_tpu.data.dataset import featurize_molecules
         graphs = featurize_molecules(molecules, cutoff=self.mcfg.cutoff,
                                      backend=backend)

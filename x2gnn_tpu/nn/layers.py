@@ -78,8 +78,10 @@ class ResidualLayer(nn.Module):
 def _freq_scaled_lookup(table, idx):
     """Embedding lookup whose backward scales each row's gradient by the
     inverse frequency of that index in the batch — functional equivalent of
-    torch's `scale_grad_by_freq=True` (atom_embedding.py:14). `idx` is an
-    explicit custom_vjp argument (float0 cotangent), never a closure
+    torch's `scale_grad_by_freq=True` — and zeroes the gradient of row 0
+    like torch's `padding_idx=0` (atom_embedding.py:14; without this the
+    padding row would drift off zero under weight-coupled updates). `idx`
+    is an explicit custom_vjp argument (float0 cotangent), never a closure
     capture — closed-over tracers leak under jax.checkpoint/nn.remat."""
     return table[idx]
 
@@ -92,6 +94,9 @@ def _freq_scaled_lookup_bwd(res, g):
     tbl_shape, idx = res
     counts = jnp.zeros(tbl_shape[0], g.dtype).at[idx].add(1.0)
     scale = 1.0 / jnp.maximum(counts[idx], 1.0)
+    # padding_idx=0: lookups of row 0 contribute no gradient (torch zeroes
+    # the padding row's grad; padded atoms all carry Z=0)
+    scale = jnp.where(idx == 0, 0.0, scale)
     dtbl = jnp.zeros(tbl_shape, g.dtype).at[idx].add(g * scale[:, None])
     return dtbl, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
 

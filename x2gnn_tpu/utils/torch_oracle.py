@@ -26,18 +26,30 @@ from x2gnn_tpu.ops.basis import bessel_zeros_and_norms
 
 
 def torch_forward(flat_params: Dict[str, np.ndarray], batch, cfg,
-                  collect: bool = True):
+                  collect: bool = True, requires_grad: bool = False):
     """Run the reference forward in torch. `flat_params` from
     export_params_flat(model.init(...)); `batch`: a GraphBatch of numpy
     arrays (segment layout fields are used); `cfg`: ModelConfig
     (readout='atomwise'|'molwise_mean'|'molwise_add', variant 'v1').
 
-    Returns (output (G,) tensor, {name: activation} dict).
+    Returns (output (G,) tensor, {name: activation} dict). With
+    `requires_grad=True` the param tensors are autograd leaves (and a
+    third return value, the {name: tensor} dict, is appended) so a caller
+    can backprop through the whole reference math — the gradient
+    cross-check the forward-only parity harness lacked. NOTE on
+    scale_grad_by_freq (atom_embedding.py:14): this transcription embeds
+    the renormed table directly, so its table gradient is the UNSCALED
+    scatter; the JAX side divides each row by its batch frequency — a
+    caller comparing gradients must multiply the JAX table grad by the
+    per-row counts (see tests/test_parity_fixtures.py).
     """
     import torch
 
     P = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
          flat_params.items()}
+    if requires_grad:
+        for v in P.values():
+            v.requires_grad_(True)
     acts: Dict[str, np.ndarray] = {}
 
     def rec(name, x):
@@ -228,4 +240,7 @@ def torch_forward(flat_params: Dict[str, np.ndarray], batch, cfg,
         results = results + readout(i + 1, out)
     if cfg.readout == "atomwise":
         results = seg_sum(results, atom_gid, G, node_mask)
-    return rec("output", results.reshape(-1)), acts
+    out = rec("output", results.reshape(-1))
+    if requires_grad:
+        return out, acts, P
+    return out, acts
