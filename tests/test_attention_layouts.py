@@ -178,3 +178,148 @@ def test_beta_layout_equivalence(make_molecule, rng):
     out_seg = np.asarray(model_seg.apply(params, b))
     out_blk = np.asarray(model_blk.apply(params, b))
     np.testing.assert_allclose(out_seg, out_blk, rtol=5e-4, atol=5e-5)
+
+
+def test_dropout_equivalence_segment_vs_blocked(make_molecule, rng):
+    """With one rng key, the segment and blocked layouts must drop the
+    SAME attention weights (canonical pair-space mask) and produce
+    identical outputs (VERDICT #5)."""
+    import dataclasses
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    from x2gnn_tpu.data.graphs import build_mol_graph
+    from x2gnn_tpu.models import X2GNN
+
+    cfg_s = ModelConfig(conv_layers=2, in_channels=16, embedding_size=16,
+                        heads=4, sbf_dim=3, rbf_dim=3, edge_feat_dim=8,
+                        dropout=0.4, attention_layout="segment")
+    cfg_b = dataclasses.replace(cfg_s, attention_layout="blocked",
+                                use_pallas=False)
+    graphs = []
+    for i in range(3):
+        numbers, pos = make_molecule(n_atoms=5 + i)
+        g = build_mol_graph(numbers, pos, y=np.array([0.0]),
+                            edge_feat_dim=8)
+        g.edge_feat[:] = rng.normal(size=g.edge_feat.shape).astype(
+            np.float32)
+        graphs.append(g)
+    batch = pad_graphs(graphs, pad_budget_for(graphs, 3))
+    model_s, model_b = X2GNN(cfg_s), X2GNN(cfg_b)
+    params = model_s.init(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(17)
+    out_s = model_s.apply(params, batch, deterministic=False,
+                          rngs={"dropout": key})
+    out_b = model_b.apply(params, batch, deterministic=False,
+                          rngs={"dropout": key})
+    keep = np.asarray(batch.graph_mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(out_s)[keep],
+                               np.asarray(out_b)[keep],
+                               rtol=2e-4, atol=2e-4)
+    # dropout actually does something: a different key changes the output
+    out_s2 = model_s.apply(params, batch, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(99)})
+    assert not np.allclose(np.asarray(out_s)[keep],
+                           np.asarray(out_s2)[keep], atol=1e-5)
+    # and the deterministic forward differs from the dropped one
+    out_det = model_s.apply(params, batch)
+    assert not np.allclose(np.asarray(out_s)[keep],
+                           np.asarray(out_det)[keep], atol=1e-5)
+
+
+def test_return_attention_weights_blocked_matches_segment(make_molecule,
+                                                          rng):
+    """Blocked-layout attention weights, gathered to triplet space, must
+    equal the segment layout's per-triplet weights (VERDICT #9,
+    sbftransformer_conv.py:129-134)."""
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    from x2gnn_tpu.data.graphs import build_mol_graph
+    from x2gnn_tpu.nn.conv import BlockedEdgeAttentionConv, EdgeAttentionConv
+    from x2gnn_tpu.ops.attention import (
+        injective_gather, pairs_to_triplet_weights, triplet_pair_positions)
+    from x2gnn_tpu.ops.basis import legendre_cos_harmonics
+
+    numbers, pos = make_molecule(n_atoms=7)
+    g = build_mol_graph(numbers, pos, y=np.array([0.0]), edge_feat_dim=8)
+    batch = pad_graphs([g], pad_budget_for([g], 1))
+    N, D = batch.in_edges.shape
+    E = batch.edge_src.shape[0]
+    T = batch.trip_src_edge.shape[0]
+    H, C, L, K = 4, 4, 3, 3
+    HC = H * C
+
+    x = rng.normal(size=(E, HC)).astype(np.float32)
+    rbf = rng.normal(size=(E, K)).astype(np.float32)
+    sbf = rng.normal(size=(T, L * K)).astype(np.float32)
+    e_attr_atom = rng.normal(size=(N, 8)).astype(np.float32)
+    e_attr_trip = e_attr_atom[np.asarray(batch.trip_j)]
+
+    conv_s = EdgeAttentionConv(HC, H, layout="segment")
+    params = conv_s.init(jax.random.PRNGKey(0), x, rbf, sbf, e_attr_trip,
+                         batch.trip_src_edge, batch.trip_dst_edge,
+                         trip_mask=batch.trip_mask)
+    out_s, w_s = conv_s.apply(params, x, rbf, sbf, e_attr_trip,
+                              batch.trip_src_edge, batch.trip_dst_edge,
+                              trip_mask=batch.trip_mask,
+                              return_attention_weights=True)
+
+    # blocked inputs (mirrors the model's wiring)
+    in_mask_flat = batch.in_mask.reshape(-1)
+    x_blk = injective_gather(jnp.asarray(x), batch.in_edges,
+                             batch.edge_inpos, batch.edge_mask)
+    rbf_blk = injective_gather(jnp.asarray(rbf), batch.in_edges,
+                               batch.edge_inpos, batch.edge_mask)
+    out2in = batch.edge_inpos[batch.out_edges]
+    safe_inpos = np.where(batch.edge_mask, batch.edge_inpos, N * D)
+    in2out = np.zeros(N * D, np.int32)
+    in2out[safe_inpos[batch.edge_mask]] = batch.edge_outpos[
+        batch.edge_mask]
+    # per-triplet sbf must factorize for the blocked core; rebuild it the
+    # way the model does (radial part per src edge x angular per pair)
+    ji = batch.positions[batch.edge_src[batch.in_edges]] \
+        - batch.positions[:, None, :]
+    jk = batch.positions[batch.edge_dst[batch.out_edges]] \
+        - batch.positions[:, None, :]
+    cos_a = np.einsum("nid,nkd->nik", ji, jk)
+    sin_a = np.sqrt(np.maximum(
+        (np.cross(ji[:, :, None, :], jk[:, None, :, :]) ** 2).sum(-1),
+        1e-24))
+    theta = np.arctan2(sin_a, cos_a)
+    cbf = legendre_cos_harmonics(jnp.asarray(theta), L)
+    in_src = batch.edge_src[batch.in_edges]
+    out_dst = batch.edge_dst[batch.out_edges]
+    pair_mask = (batch.in_mask[:, :, None] & batch.out_mask[:, None, :]
+                 & (in_src[:, :, None] != out_dst[:, None, :]))
+    # radial part of the given sbf per out-slot: recover rbf_env from sbf
+    # is not possible in general, so use a factorized sbf for BOTH convs:
+    rbf_env = rng.normal(size=(E, L * K)).astype(np.float32)
+    pref = np.asarray(legendre_cos_harmonics(jnp.asarray(theta), L))
+    # per-triplet sbf = rbf_env[src] * repeat(cbf at the triplet's pair)
+    pair_pos = triplet_pair_positions(
+        jnp.asarray(batch.trip_dst_edge), jnp.asarray(batch.trip_src_edge),
+        jnp.asarray(batch.edge_inpos), jnp.asarray(batch.edge_outpos), D)
+    cbf_trip = pref.reshape(N * D * D, L)[np.asarray(pair_pos)]
+    sbf_fact = rbf_env[np.asarray(batch.trip_src_edge)] * np.repeat(
+        cbf_trip, K, axis=-1)
+    out_s2, w_s2 = conv_s.apply(params, x, rbf, sbf_fact, e_attr_trip,
+                                batch.trip_src_edge, batch.trip_dst_edge,
+                                trip_mask=batch.trip_mask,
+                                return_attention_weights=True)
+
+    rbf_env_out = injective_gather(jnp.asarray(rbf_env), batch.out_edges,
+                                   jnp.asarray(in2out)[
+                                       jnp.asarray(safe_inpos)
+                                   ] if False else jnp.asarray(
+                                       batch.edge_outpos),
+                                   batch.edge_mask)
+    conv_b = BlockedEdgeAttentionConv(HC, H, sbf_l=L, sbf_k=K,
+                                      use_pallas=False)
+    out_b, alpha_pairs = conv_b.apply(
+        params, x_blk, rbf_blk,
+        rbf_env_out, cbf, jnp.asarray(e_attr_atom),
+        jnp.asarray(out2in), jnp.asarray(in2out), batch.in_mask,
+        jnp.asarray(pair_mask), return_attention_weights=True)
+    w_b = pairs_to_triplet_weights(alpha_pairs, pair_pos)
+    tm = np.asarray(batch.trip_mask)
+    np.testing.assert_allclose(np.asarray(w_b)[tm], np.asarray(w_s2)[tm],
+                               rtol=1e-4, atol=1e-5)

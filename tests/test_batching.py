@@ -156,3 +156,75 @@ def test_blocked_model_runs_without_triplets(make_molecule):
     np.testing.assert_allclose(np.asarray(model.apply(params, lean)),
                                np.asarray(model.apply(params, full)),
                                rtol=1e-6)
+
+
+def test_size_bucketed_plan_covers_and_fits():
+    from x2gnn_tpu.data.batching import (
+        Budgets, pad_budget_for, pad_graphs, size_bucketed_plan)
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    # strongly heterogeneous sizes
+    graphs = (synthetic_dataset(20, mean_atoms=6, seed=1)
+              + synthetic_dataset(20, mean_atoms=16, seed=2)
+              + synthetic_dataset(20, mean_atoms=26, seed=3))
+    base = pad_budget_for(graphs, 8)
+    idx = np.arange(len(graphs))
+    chunks, budgets, stats = size_bucketed_plan(graphs, idx, 8, 4, base)
+    # every molecule exactly once
+    got = np.sort(np.concatenate(chunks))
+    np.testing.assert_array_equal(got, idx)
+    assert len(budgets) == len(chunks)
+    assert stats["shapes"] <= 4
+    # each chunk fits its budget and pads successfully
+    for chunk, bud in zip(chunks, budgets):
+        gs = [graphs[i] for i in chunk]
+        assert sum(g.num_atoms for g in gs) <= bud.n_node
+        assert sum(g.num_edges for g in gs) <= bud.n_edge
+        assert sum(g.num_triplets for g in gs) <= bud.n_trip
+        b = pad_graphs(gs, bud, n_graph=8)
+        assert b.trip_mask.sum() == sum(g.num_triplets for g in gs)
+    # bucketing must clearly beat the single worst-case budget on
+    # occupancy (with only 8 chunks / 2 per class the headroom is modest;
+    # at dataset scale the classes are much tighter)
+    n_batches = len(chunks)
+    single_padded = base.n_trip * n_batches
+    occ_single = stats["real"][2] / single_padded
+    occ_bucketed = stats["real"][2] / stats["padded"][2]
+    assert occ_bucketed > occ_single * 1.3
+    assert occ_bucketed > 0.75
+
+
+def test_trainer_bucketed_budgets_learn_and_log(tmp_path):
+    import json
+    import os
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+    import dataclasses
+    graphs = (synthetic_dataset(12, mean_atoms=5, seed=4, edge_feat_dim=12)
+              + synthetic_dataset(12, mean_atoms=14, seed=5,
+                                  edge_feat_dim=12))
+    targets = np.array([g.num_atoms for g in graphs], dtype=np.float32)
+    mcfg = ModelConfig(conv_layers=1, in_channels=16, embedding_size=16,
+                       heads=2, sbf_dim=2, rbf_dim=2, edge_feat_dim=12)
+    tcfg = TrainConfig(batch_size=4, max_lr=5e-3, warmup_steps=5,
+                       division=(3, 6), ckpt_after_epoch=0,
+                       bucket_shapes=3)
+    wd = str(tmp_path / "bucketed")
+    trainer = Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, targets,
+                      workdir=wd)
+    state, summary = trainer.fit(epochs=2)
+    assert np.isfinite(summary["best_val_mae"])
+    rec = [json.loads(l) for l in open(os.path.join(wd,
+                                                    "metrics.jsonl"))][-1]
+    assert rec["occupancy_triplets"] > 0.75
+    assert 1 <= rec["budget_shapes"] <= 3
+    assert rec["triplets_per_sec"] > 0
+    # a mesh with bucketing must refuse loudly
+    import jax
+    if jax.device_count() > 1:
+        from x2gnn_tpu.parallel import make_mesh
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="bucket_shapes"):
+            Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, targets,
+                    workdir=wd, mesh=make_mesh())

@@ -288,14 +288,20 @@ def test_dropout_trains_on_segment_layout(make_molecule, rng, tmp_path):
     state, summary = trainer.fit(epochs=2)
     assert np.isfinite(summary["best_val_mae"])
 
-    # non-segment layouts refuse silent no-op dropout
+    # blocked layout trains with dropout too (XLA core path); the padded
+    # layout still refuses silent no-op dropout
     cfg_b = dataclasses.replace(cfg, attention_layout="blocked",
                                 use_pallas=False)
     model_b = X2GNN(cfg_b)
     batch = next(iter(trainer._batches(trainer.train_idx[:4])))
     params = model_b.init(jax.random.PRNGKey(0), batch)
+    out_b = model_b.apply(params, batch, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out_b)).all()
+    cfg_p = dataclasses.replace(cfg, attention_layout="padded")
+    model_p = X2GNN(cfg_p)
     with pytest.raises(NotImplementedError):
-        model_b.apply(params, batch, deterministic=False,
+        model_p.apply(params, batch, deterministic=False,
                       rngs={"dropout": jax.random.PRNGKey(1)})
 
 

@@ -69,8 +69,14 @@ def parse_args(argv=None):
                         "device mesh (graphs larger than one chip); "
                         "'ring' exchanges K/V shard-by-shard via ppermute")
     p.add_argument("--dropout", type=float, default=None,
-                   help="attention-weight dropout (segment layout only, "
-                        "single-device; reference config.json 'dropout')")
+                   help="attention-weight dropout (segment/blocked "
+                        "layouts, single-device or --data-parallel; "
+                        "reference sbftransformer_conv.py:153)")
+    p.add_argument("--bucket-shapes", type=int, default=None,
+                   help="size-bucketed batch budgets: group molecules by "
+                        "size and compile N quantized batch shapes "
+                        "instead of one worst-case shape (single-device; "
+                        "raises occupancy on heterogeneous datasets)")
     p.add_argument("--accum-steps", type=int, default=None,
                    help="gradient accumulation: apply the optimizer every "
                         "N micro-batches (effective batch = N*batch_size)")
@@ -136,7 +142,7 @@ def main(argv=None):
     if args.ckpt_every is not None:
         tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
     for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps",
-                  "scheduler"):
+                  "scheduler", "bucket_shapes"):
         v = getattr(args, field)
         if v is not None:
             tcfg = dataclasses.replace(tcfg, **{field: v})

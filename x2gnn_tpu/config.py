@@ -34,8 +34,11 @@ class ModelConfig:
     readout: str = "atomwise"
     mlp_depth: int = 3
     # attention-weight dropout (sbftransformer_conv.py:153). Live on the
-    # segment layout only (single-device trainer threads the rng); other
-    # layouts / mesh trainers raise rather than silently ignore it.
+    # segment AND blocked layouts (matched pair-space masks, equivalence-
+    # tested), single-device or plain DP; dropout training on the blocked
+    # layout runs the XLA core (the fused Pallas kernel never materializes
+    # alpha). The padded layout / EP / hybrid raise rather than silently
+    # ignore it.
     dropout: float = 0.0
     # beta-gated skip connection in the attention conv (the reference
     # defines the branch but uses beta=False everywhere,
@@ -105,6 +108,13 @@ class TrainConfig:
     # elastic recovery; 0 disables. No reference equivalent (the
     # reference can only save best-val and cannot resume at all).
     ckpt_every: int = 0
+
+    # size-bucketed batch budgets (TPU-specific): group molecules by size
+    # and compile this many quantized batch shapes instead of one
+    # worst-case shape. 0 = off (single composition-independent budget).
+    # Each shape costs one XLA compile; occupancy on heterogeneous
+    # datasets rises from ~50-60% to >90% (metrics.jsonl 'occupancy_*').
+    bucket_shapes: int = 0
 
     # static batch padding budgets (TPU-specific; no reference equivalent).
     # Defaults fit QM9 at batch_size 32 with the 5 A cutoff.

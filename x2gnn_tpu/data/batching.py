@@ -342,6 +342,86 @@ def pad_graphs(
     )
 
 
+def size_bucketed_plan(
+    graphs: Sequence[MolGraph],
+    idx,
+    batch_size: int,
+    num_shapes: int,
+    base: Budgets,
+    multiple: int = 8,
+):
+    """Plan size-grouped batches over `idx` with a CLOSED set of quantized
+    budget shapes.
+
+    The single worst-case budget (pad_budget_for: sum of the batch_size
+    largest molecules) wastes a large constant factor on heterogeneous
+    datasets — every batch pays for the biggest possible one. Here
+    molecules are ordered by triplet count (largest first), chunked into
+    batches, and the chunks are split into `num_shapes` contiguous classes;
+    each class gets the elementwise-max budget of its chunks, rounded up.
+    Every shape compiles once; composition is fixed across epochs (the
+    trainer never reshuffles, trainer.py:22-27), so budgets are exact.
+
+    The degree budget and two-tier split point (d_lo) stay global (from
+    `base`); the per-class n_hi is the class's real worst case (disabled
+    for a class where it would cover every row).
+
+    Returns (chunks, budgets, stats): chunks = list of index arrays in
+    training order, budgets = matching Budgets per chunk, stats = dict
+    with real/padded node/edge/triplet totals (occupancy accounting).
+    """
+    idx = np.asarray(idx)
+    t_sizes = np.array([graphs[i].num_triplets for i in idx])
+    idx = idx[np.argsort(-t_sizes, kind="stable")]
+    chunks = [idx[lo:lo + batch_size]
+              for lo in range(0, len(idx), batch_size)]
+
+    want_split = base.n_deg_lo > 0 and base.n_hi > 0
+    needs = []
+    for c in chunks:
+        gs = [graphs[i] for i in c]
+        n = sum(g.num_atoms for g in gs)
+        e = sum(g.num_edges for g in gs)
+        t = sum(g.num_triplets for g in gs)
+        hi = 0
+        if want_split:
+            for g in gs:
+                if g.num_edges:
+                    deg = np.maximum(
+                        np.bincount(g.edge_index[0], minlength=g.num_atoms),
+                        np.bincount(g.edge_index[1], minlength=g.num_atoms))
+                    hi += int((deg > base.n_deg_lo).sum())
+        needs.append((n, e, t, hi))
+    needs = np.array(needs, dtype=np.int64)
+
+    def round_up(v):
+        return ((max(int(v), 1) + multiple - 1) // multiple) * multiple
+
+    n_chunks = len(chunks)
+    per_class = max(1, -(-n_chunks // max(num_shapes, 1)))
+    budgets = []
+    for lo in range(0, n_chunks, per_class):
+        cls = needs[lo:lo + per_class]
+        n_node = round_up(cls[:, 0].max())
+        n_edge = round_up(cls[:, 1].max())
+        n_trip = round_up(cls[:, 2].max())
+        n_hi = round_up(cls[:, 3].max()) if want_split else 0
+        d_lo = base.n_deg_lo
+        if not want_split or n_hi >= n_node:
+            n_hi = d_lo = 0   # split would cover every row: plain kernel
+        b = Budgets(n_node, n_edge, n_trip, base.n_deg, d_lo, n_hi)
+        budgets.extend([b] * len(cls))
+
+    stats = {
+        "real": tuple(int(x) for x in needs[:, :3].sum(axis=0)),
+        "padded": tuple(int(sum(b[d] for b in budgets))
+                        for d in range(3)),
+        "shapes": len({(b.n_node, b.n_edge, b.n_trip, b.n_hi)
+                       for b in budgets}),
+    }
+    return chunks, budgets, stats
+
+
 def batch_iterator(
     graphs: Sequence[MolGraph],
     batch_size: int,

@@ -46,11 +46,12 @@ class X2GNN(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         cfg = self.config
-        if (cfg.dropout > 0 and not deterministic
-                and cfg.attention_layout != "segment"):
+        drop_active = cfg.dropout > 0 and not deterministic
+        if drop_active and cfg.attention_layout == "padded":
             raise NotImplementedError(
-                "attention dropout is implemented for the segment layout "
-                "only; train with attention_layout='segment' or dropout=0")
+                "attention dropout is implemented for the segment and "
+                "blocked layouts (matched pair-space masks); the padded "
+                "layout has no dropout path — use 'blocked' or 'segment'")
         num_atoms = batch.numbers.shape[0]
         num_graphs = batch.y.shape[0]
 
@@ -134,6 +135,11 @@ class X2GNN(nn.Module):
             use_pallas = cfg.use_pallas
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
+            if drop_active:
+                # dropout multiplies the materialized alpha — runs the
+                # XLA blocked core (the fused kernel never forms alpha);
+                # eval/serving steps (deterministic) still use Pallas
+                use_pallas = False
             pair_mask = (batch.in_mask[:, :, None]
                          & batch.out_mask[:, None, :]
                          & (in_src[:, :, None] != out_dst[:, None, :]))
@@ -229,6 +235,7 @@ class X2GNN(nn.Module):
                 conv = BlockedEdgeAttentionConv(
                     cfg.in_channels, cfg.heads,
                     sbf_l=cfg.sbf_dim, sbf_k=cfg.rbf_dim,
+                    dropout=cfg.dropout,
                     use_pallas=use_pallas, dtype=conv_dtype,
                     use_beta=cfg.beta,
                     name=f"conv_{i}")
@@ -244,7 +251,8 @@ class X2GNN(nn.Module):
                                  i2o, imask, pmask, z_, aid, bid):
                     return mdl(x, nrbf, renv, cbf_, e_atom, o2i, i2o,
                                imask, pmask, z=z_, a_ids=aid, b_ids=bid,
-                               n_hi=batch.n_hi, d_lo=batch.d_lo)
+                               n_hi=batch.n_hi, d_lo=batch.d_lo,
+                               deterministic=deterministic)
 
                 if cfg.remat:
                     call_blocked = nn.remat(call_blocked)
@@ -261,19 +269,33 @@ class X2GNN(nn.Module):
                     use_beta=cfg.beta,
                     name=f"conv_{i}")
 
+                drop_pair_pos = drop_space = None
+                if drop_active and cfg.attention_layout == "segment":
+                    # canonical pair-space dropout coordinates so the
+                    # segment and blocked layouts drop the SAME weights
+                    # under one rng (ops.attention.pair_dropout_mask)
+                    from x2gnn_tpu.ops.attention import (
+                        triplet_pair_positions)
+                    drop_space = batch.in_edges.shape
+                    drop_pair_pos = triplet_pair_positions(
+                        batch.trip_dst_edge, batch.trip_src_edge,
+                        batch.edge_inpos, batch.edge_outpos,
+                        drop_space[1])
+
                 def call_conv(mdl, x, e_attr, nrbf, sbf_, tsrc, tdst,
-                              tmask, ntrip, nsrc, nmask):
+                              tmask, ntrip, nsrc, nmask, dpp):
                     return mdl(x, nrbf, sbf_, e_attr, tsrc, tdst,
                                trip_mask=tmask, nbr_trip=ntrip,
                                nbr_src=nsrc, nbr_mask=nmask,
-                               deterministic=deterministic)
+                               deterministic=deterministic,
+                               drop_pair_pos=dpp, drop_space=drop_space)
 
                 if cfg.remat:
                     call_conv = nn.remat(call_conv)
                 out = call_conv(conv, out, edge_attr, node_rbf, sbf,
                                 batch.trip_src_edge, batch.trip_dst_edge,
                                 trip_mask, batch.nbr_trip, batch.nbr_src,
-                                batch.nbr_mask)
+                                batch.nbr_mask, drop_pair_pos)
                 out = out.astype(jnp.float32)
             out = GraphLayerNorm(name=f"norm_{i}")(
                 out, gid_flat, num_graphs, mask=mask_flat)

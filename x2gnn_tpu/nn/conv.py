@@ -31,7 +31,8 @@ import flax.linen as nn
 from x2gnn_tpu.nn.init import glorot_orthogonal
 from x2gnn_tpu.nn.layers import TorchDense
 from x2gnn_tpu.ops.attention import (
-    beta_gate, blocked_attention_core, injective_gather, padded_attention)
+    beta_gate, blocked_attention_core, injective_gather, padded_attention,
+    pair_dropout_mask)
 from x2gnn_tpu.ops.segment import segment_softmax, segment_sum
 
 
@@ -74,7 +75,8 @@ class EdgeAttentionConv(nn.Module):
     def __call__(self, x, rbf, sbf, edge_attr, trip_src, trip_dst,
                  trip_mask=None, nbr_trip=None, nbr_src=None, nbr_mask=None,
                  deterministic: bool = True,
-                 return_attention_weights: bool = False):
+                 return_attention_weights: bool = False,
+                 drop_pair_pos=None, drop_space=None):
         """x: (E, C) line-graph node (= atom-graph edge) features;
         rbf: (E, K) radial basis per edge; sbf: (T, L*K) per-triplet 2D
         basis; edge_attr: (T, emb) media-atom embedding per triplet;
@@ -134,8 +136,19 @@ class EdgeAttentionConv(nn.Module):
                                     mask=trip_mask)
             weights = alpha                         # (T, H) per-triplet
             if self.dropout > 0.0 and not deterministic:
-                alpha = nn.Dropout(rate=self.dropout)(
-                    alpha, deterministic=False)
+                if drop_pair_pos is not None:
+                    # canonical pair-space mask (identical across layouts
+                    # under one rng; see ops.attention.pair_dropout_mask).
+                    # drop_space = (N, D) of the blocked tables.
+                    from x2gnn_tpu.ops.attention import pair_dropout_mask
+                    N_, D_ = drop_space
+                    mask = pair_dropout_mask(
+                        self.make_rng("dropout"), self.dropout, N_, D_, H)
+                    alpha = alpha * mask.reshape(-1, H)[drop_pair_pos]
+                else:
+                    # standalone conv use without blocked tables: iid draw
+                    alpha = nn.Dropout(rate=self.dropout)(
+                        alpha, deterministic=False)
             v_j = v[trip_src] + e
             msg = v_j * s * alpha[..., None]        # (T, H, C)
             out = segment_sum(msg, trip_dst, num_edges,
@@ -177,6 +190,14 @@ class BlockedEdgeAttentionConv(nn.Module):
     heads: int = 16
     sbf_l: int = 7     # num_spherical
     sbf_k: int = 6     # num_radial
+    # attention-weight dropout (sbftransformer_conv.py:153). Active
+    # (dropout > 0 and deterministic=False) it draws a per-(atom, in-slot,
+    # out-slot, head) keep mask from the 'dropout' rng stream — the same
+    # pair space, stream and shape the segment layout uses, so the two
+    # layouts drop identical weights under one rng (equivalence-tested).
+    # Runs the XLA core (cbf/pair_mask required): the fused Pallas kernel
+    # never materializes alpha.
+    dropout: float = 0.0
     use_pallas: Optional[bool] = None
     # bfloat16 halves the K/V re-index gather traffic and the projection
     # FLOPs; params stay f32 and all attention math runs f32 (the Pallas
@@ -189,7 +210,9 @@ class BlockedEdgeAttentionConv(nn.Module):
     def __call__(self, x_blk, rbf_blk, rbf_env_out, cbf, atom_edge_attr,
                  out2in, in2out_flat, in_mask, pair_mask,
                  z=None, a_ids=None, b_ids=None,
-                 n_hi: int = 0, d_lo: int = 0):
+                 n_hi: int = 0, d_lo: int = 0,
+                 deterministic: bool = True,
+                 return_attention_weights: bool = False):
         """x_blk: (N, D, C) in-layout line-graph node features;
         rbf_blk: (N, D, K) radial basis (in-layout); rbf_env_out:
         (N, D, L*K) radial sbf factor of the OUT-table rows (hoisted out
@@ -226,9 +249,18 @@ class BlockedEdgeAttentionConv(nn.Module):
         v_out = injective_gather(v_in.reshape(N * D, self.channels),
                                  out2in, in2out_flat, in_mask_flat)
 
+        drop_active = self.dropout > 0.0 and not deterministic
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if drop_active or return_attention_weights:
+            # alpha must be materialized (dropout multiplies it; weight
+            # introspection returns it) — the fused kernel never forms it
+            use_pallas = False
+            assert cbf is not None and pair_mask is not None, (
+                "dropout / return_attention_weights need the XLA core "
+                "inputs (cbf, pair_mask); the model disables use_pallas "
+                "when dropout training is active")
         if use_pallas:
             assert z is not None and a_ids is not None
             from x2gnn_tpu.ops.pallas import (
@@ -262,6 +294,12 @@ class BlockedEdgeAttentionConv(nn.Module):
                     rbf_env_out, w_bd, bias,
                     z, a_ids, b_ids, heads=H, num_radial=K)  # (N, D, HC)
         else:
+            drop_mask = None
+            if drop_active:
+                # pair-space keep mask, shared shape/stream with the
+                # segment layout's draw (see pair_dropout_mask)
+                drop_mask = pair_dropout_mask(
+                    self.make_rng("dropout"), self.dropout, N, D, H)
             G = jnp.einsum("nelk,lkf->nelf",
                            rbf_env_out.reshape(N, D, L, K),
                            w_sbf.reshape(L, K, self.channels))
@@ -273,11 +311,20 @@ class BlockedEdgeAttentionConv(nn.Module):
                 e_atom.reshape(N, H, C).astype(f32),
                 G.reshape(N, D, L, H, C),
                 b_sbf.reshape(H, C),
-                cbf, pair_mask).reshape(N, D, self.channels)
+                cbf, pair_mask, dropout_mask=drop_mask,
+                return_alpha=return_attention_weights)
+            if return_attention_weights:
+                out, alpha_pairs = out
+            out = out.reshape(N, D, self.channels)
         skip = TorchDense(self.channels, name="lin_skip")(x_dst)
         if self.use_beta:
             out = beta_gate(out, skip,
                             TorchDense(1, use_bias=False, name="lin_beta"))
         else:
             out = out + skip
+        if return_attention_weights:
+            # per-pair pre-dropout alpha (N, Di, Do, H) — map to triplet
+            # weights with ops.attention.pairs_to_triplet_weights for
+            # cross-layout comparison (sbftransformer_conv.py:129-134)
+            return out, alpha_pairs
         return out

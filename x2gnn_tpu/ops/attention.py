@@ -102,12 +102,19 @@ def segment_attention(q, k, v, e, s, trip_src, trip_dst, trip_mask,
 
 
 def blocked_attention_core(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias, cbf,
-                           pair_mask):
+                           pair_mask, dropout_mask=None,
+                           return_alpha=False):
     """Attention math on pre-blocked tables (all inputs already in the
     atom-blocked layout). q_blk: (N, D, H, C) in-table rows; k_blk/v_blk/
     G_blk: (N, D, H, C) / (N, D, L, H, C) out-table rows; e_atom:
     (N, H, C); cbf: (N, D, D, L); pair_mask: (N, Di, Dk). Returns
-    (N, D, H, C) in the in-table layout."""
+    (N, D, H, C) in the in-table layout.
+
+    dropout_mask: optional (N, Di, Do, H) multiplicative mask (already
+    scaled by 1/keep) applied to the softmax weights AFTER they are
+    computed (sbftransformer_conv.py:153 applies dropout to alpha).
+    return_alpha: also return the PRE-dropout weights (N, Di, Do, H) —
+    PyG's return_attention_weights saves alpha before dropout."""
     C = q_blk.shape[-1]
     L = cbf.shape[-1]
     k_blk = k_blk + e_atom[:, None]
@@ -119,10 +126,14 @@ def blocked_attention_core(q_blk, k_blk, v_blk, e_atom, G_blk, s_bias, cbf,
     ex = jnp.where(pair_mask[..., None], ex, 0.0)
     denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
     alpha = ex / denom                                   # (N, Di, Do, H)
-    out = jnp.einsum("nikh,nkhc->nihc", alpha, v_blk) * s_bias
+    alpha_used = (alpha if dropout_mask is None
+                  else alpha * dropout_mask)
+    out = jnp.einsum("nikh,nkhc->nihc", alpha_used, v_blk) * s_bias
     for l in range(L):
-        wl = alpha * cbf[..., l][..., None]              # (N, Di, Do, H)
+        wl = alpha_used * cbf[..., l][..., None]         # (N, Di, Do, H)
         out = out + jnp.einsum("nikh,nkhc->nihc", wl, v_blk * G_blk[:, :, l])
+    if return_alpha:
+        return out, alpha
     return out
 
 
@@ -177,6 +188,34 @@ def padded_attention(q, k, v, e, s, nbr_trip, nbr_src, nbr_mask):
     w = ex / denom                                        # (E, D, H)
     msg = v_n * s_n * w[..., None]                        # (E, D, H, C)
     return msg.sum(axis=1)
+
+
+def pair_dropout_mask(rng, rate: float, N: int, D: int, H: int):
+    """Attention-dropout keep mask in the canonical PAIR space
+    (atom j, in-slot, out-slot, head) — the one coordinate system every
+    layout can address: the blocked core indexes it directly, the segment
+    layout gathers per-triplet values via `triplet_pair_positions`. Both
+    draw THIS shape from the same rng stream, so matched keys drop
+    identical weights across layouts (sbftransformer_conv.py:153).
+    Returned mask is already scaled by 1/keep_prob."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (N, D, D, H))
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def triplet_pair_positions(trip_dst, trip_src, edge_inpos, edge_outpos,
+                           D: int):
+    """Flat pair-space position (j*D*D + in_slot*D + out_slot) of every
+    triplet: the dst edge (i->j) occupies in-slot `edge_inpos[dst] % D` of
+    row j, the src edge (j->k) out-slot `edge_outpos[src] % D`."""
+    return (edge_inpos[trip_dst] * D + edge_outpos[trip_src] % D)
+
+
+def pairs_to_triplet_weights(alpha_pairs, pair_pos):
+    """Gather per-pair attention weights (N, Di, Do, H) into per-triplet
+    weights (T, H) — the segment layout's return_attention_weights shape
+    (sbftransformer_conv.py:129-134)."""
+    N, Di, Do, H = alpha_pairs.shape
+    return alpha_pairs.reshape(N * Di * Do, H)[pair_pos]
 
 
 def beta_gate(out, skip, lin_beta_apply):

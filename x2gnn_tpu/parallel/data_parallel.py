@@ -74,18 +74,31 @@ def dp_batch_iterator(batches, n_dev: int, mesh: Mesh):
 
 
 def make_dp_train_step(model, optimizer, ema_decay: float,
-                       mesh: Mesh) -> Callable:
+                       mesh: Mesh, dropout: float = 0.0,
+                       rng_seed: int = 0) -> Callable:
     """Jitted data-parallel train step.
 
     state: replicated TrainState; batch: stacked (D, ...) GraphBatch sharded
     on 'data'. Returns (state, mean loss).
+
+    dropout > 0 threads a per-device, per-step dropout rng into the model
+    (deterministic and resume-stable: derived from rng_seed, the step
+    counter, and the device's mesh position).
     """
 
     def per_device(state, batch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # (1,...)->()
 
         def loss_fn(params):
-            pred = model.apply(params, batch)
+            if dropout > 0:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(rng_seed),
+                                       state.step),
+                    jax.lax.axis_index("data"))
+                pred = model.apply(params, batch, deterministic=False,
+                                   rngs={"dropout": key})
+            else:
+                pred = model.apply(params, batch)
             return smooth_l1_loss(pred, batch.y, mask=batch.graph_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -95,6 +95,15 @@ class Trainer:
             n, train_cfg.random_seed, (d0, d1))
         self.budgets = budgets or pad_budget_for(
             self.graphs, train_cfg.batch_size)
+        self.bucket_shapes = int(getattr(train_cfg, "bucket_shapes", 0))
+        if self.bucket_shapes and mesh is not None:
+            raise ValueError(
+                "bucket_shapes (size-bucketed budgets) is single-device "
+                "only for now — mesh batch stacking needs uniform shapes "
+                "per device group; set bucket_shapes=0 or drop the mesh")
+        # real/padded node-edge-triplet totals per split (occupancy
+        # accounting for metrics.jsonl; filled lazily at batch assembly)
+        self._totals = {}
         if cache_batches is None:
             cache_batches = n <= 20000
         self._batch_cache = {} if cache_batches else None
@@ -108,11 +117,12 @@ class Trainer:
         self.edge_partition = edge_partition
         self._hybrid = (mesh is not None and edge_partition is not None
                         and "dp" in getattr(mesh, "axis_names", ()))
-        if model_cfg.dropout > 0 and mesh is not None:
+        if model_cfg.dropout > 0 and edge_partition is not None:
             raise ValueError(
-                "dropout training is supported on the single-device "
-                "segment-layout path only (the DP/EP/hybrid steps do not "
-                "thread a dropout rng); set dropout=0 or drop the mesh")
+                "dropout training is supported single-device and under "
+                "plain DP (per-device rng threading); the EP/hybrid "
+                "sharded-attention steps do not implement pair-space "
+                "dropout masks — set dropout=0 or use --data-parallel")
         if self._hybrid:
             # hybrid DP x EP: molecule groups over the 'dp' axis, each
             # group's graph edge-partitioned over 'data' (parallel/hybrid.py)
@@ -152,7 +162,9 @@ class Trainer:
             from x2gnn_tpu.parallel.data_parallel import (
                 make_dp_train_step, make_dp_eval_step)
             self._train_step = make_dp_train_step(
-                model, self.optimizer, train_cfg.ema_decay, mesh)
+                model, self.optimizer, train_cfg.ema_decay, mesh,
+                dropout=model_cfg.dropout,
+                rng_seed=train_cfg.random_seed)
             self._eval_step = make_dp_eval_step(model, mesh, std=std)
             self.n_dev = int(mesh.devices.size)
         else:
@@ -204,14 +216,48 @@ class Trainer:
                           jnp.zeros((), jnp.int32),
                           jnp.zeros((), jnp.int32))
 
+    def _record_totals(self, key, idx, stats=None):
+        if key in self._totals:
+            return
+        if stats is None:
+            steps = -(-len(idx) // self.tcfg.batch_size)
+            stats = {
+                "real": (sum(self.graphs[i].num_atoms for i in idx),
+                         sum(self.graphs[i].num_edges for i in idx),
+                         sum(self.graphs[i].num_triplets for i in idx)),
+                "padded": (self.budgets[0] * steps,
+                           self.budgets[1] * steps,
+                           self.budgets[2] * steps),
+                "shapes": 1,
+            }
+        self._totals[key] = stats
+
     def _batches(self, idx):
         key = self._cache_key(idx)
         if self._batch_cache is not None and key in self._batch_cache:
             return iter(self._batch_cache[key])
-        graphs = [self.graphs[i] for i in idx]
-        targets = self.targets[np.asarray(idx)]
-        it = batch_iterator(graphs, self.tcfg.batch_size,
-                            budgets=self.budgets, targets=targets)
+        if self.bucket_shapes:
+            from x2gnn_tpu.data.batching import (
+                pad_graphs, size_bucketed_plan)
+            chunks, chunk_budgets, stats = size_bucketed_plan(
+                self.graphs, idx, self.tcfg.batch_size,
+                self.bucket_shapes, self.budgets)
+            self._record_totals(key, idx, stats)
+
+            def gen():
+                for chunk, bud in zip(chunks, chunk_budgets):
+                    yield pad_graphs(
+                        [self.graphs[i] for i in chunk], bud,
+                        n_graph=self.tcfg.batch_size,
+                        targets=self.targets[np.asarray(chunk)])
+
+            it = gen()
+        else:
+            self._record_totals(key, idx)
+            graphs = [self.graphs[i] for i in idx]
+            targets = self.targets[np.asarray(idx)]
+            it = batch_iterator(graphs, self.tcfg.batch_size,
+                                budgets=self.budgets, targets=targets)
         if self._batch_cache is None:
             # large datasets: overlap host batch assembly with device
             # compute (the cache path below makes this moot)
@@ -301,10 +347,18 @@ class Trainer:
         # step (expensive on the remote-attached TPU) and stop the host
         # from enqueueing the next step while the current one runs
         losses, counts = [], []
-        for batch in self._device_batches(self.train_idx):
+        for i, batch in enumerate(self._device_batches(self.train_idx)):
             state, loss = self._train_step(state, batch)
             losses.append(loss)
             counts.append(batch.graph_mask.sum())
+            if i % 64 == 63:
+                # bound the async dispatch queue: without an occasional
+                # drain the host can enqueue thousands of steps ahead,
+                # pinning every in-flight batch's host buffers (observed
+                # as unbounded RSS growth on the remote-attached backend).
+                # One sync per 64 steps costs ~an RTT and caps the
+                # in-flight set.
+                loss.block_until_ready()
         # ONE bulk fetch at epoch end (a float() per item would serialize
         # a host<->device round trip per step on the remote-attached TPU)
         losses, counts = jax.device_get((losses, counts))
@@ -414,7 +468,7 @@ class Trainer:
                     os.path.join(self.workdir, "ckpt_last"), state)
             seconds = time.time() - t0
             n_train = len(self.train_idx)
-            steps = -(-n_train // self.tcfg.batch_size)
+            tot = self._totals.get(self._cache_key(self.train_idx))
             record = {
                 # global numbering: a resumed run continues where the
                 # restored step counter left off instead of restarting at 1
@@ -427,14 +481,22 @@ class Trainer:
                 "bad_steps": (int(np.asarray(state.bad_steps))
                               if state.bad_steps is not None else 0),
                 "seconds": seconds,
-                # north-star counters (BASELINE.md): per-chip rates from
-                # the static budgets
-                "edges_per_sec": self.budgets[1] * steps / max(seconds,
-                                                               1e-9),
-                "triplets_per_sec": self.budgets[2] * steps / max(
-                    seconds, 1e-9),
                 "molecules_per_sec": n_train / max(seconds, 1e-9),
             }
+            if tot is not None:
+                # north-star counters (BASELINE.md) from REAL entity
+                # counts — budget-based rates overstate throughput by the
+                # padding factor — plus padded-vs-real occupancy
+                real_n, real_e, real_t = tot["real"]
+                pad_n, pad_e, pad_t = tot["padded"]
+                record.update({
+                    "edges_per_sec": real_e / max(seconds, 1e-9),
+                    "triplets_per_sec": real_t / max(seconds, 1e-9),
+                    "occupancy_nodes": real_n / max(pad_n, 1),
+                    "occupancy_edges": real_e / max(pad_e, 1),
+                    "occupancy_triplets": real_t / max(pad_t, 1),
+                    "budget_shapes": tot["shapes"],
+                })
             if plateau_logged is not None:
                 record["lr_scale"] = plateau_logged
             if log_every_epoch:
