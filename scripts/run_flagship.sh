@@ -1,0 +1,34 @@
+#!/bin/bash
+# Flagship training on the synthetic QM9-scale dataset with a
+# crash/RSS-restart loop (elastic recovery in practice: --ckpt-every 1 +
+# --auto-resume make any restart lose at most one epoch).
+#
+# Usage: bash scripts/run_flagship.sh [data.npz] [workdir] [epochs]
+set -u
+cd "$(dirname "$0")/.."
+DATA=${1:-processed/synthq100k.npz}
+WD=${2:-runs/flagship}
+EPOCHS=${3:-150}
+RSS_LIMIT_KB=${RSS_LIMIT_KB:-62000000}   # 62 GB: restart before host OOM
+
+for attempt in $(seq 1 200); do
+  python train.py --data-npz "$DATA" --workdir "$WD" \
+    --config configs/flagship_synthq.json --epochs "$EPOCHS" \
+    --layout blocked --standardize --bucket-shapes 3 \
+    --ckpt-every 1 --auto-resume --ckpt-after-epoch 0 \
+    >> "$WD.log" 2>&1 &
+  PID=$!
+  while kill -0 "$PID" 2>/dev/null; do
+    RSS=$(ps -o rss= -p "$PID" 2>/dev/null | tr -d ' ')
+    if [ -n "$RSS" ] && [ "$RSS" -gt "$RSS_LIMIT_KB" ]; then
+      echo "attempt $attempt: RSS ${RSS}kB > limit, restarting" \
+        >> "$WD.log"
+      kill "$PID"
+    fi
+    sleep 30
+  done
+  wait "$PID"; RC=$?
+  echo "attempt $attempt exited rc=$RC" >> "$WD.log"
+  [ "$RC" -eq 0 ] && break
+  sleep 5
+done

@@ -383,3 +383,27 @@ def test_trainer_plateau_schedule_reduces_lr(make_molecule, rng, tmp_path):
     assert scales[0] == 1.0 or scales[-1] < scales[0]
     assert scales[-1] < 1.0, f"plateau never reduced the LR: {scales}"
     assert min(scales) >= 0.01 - 1e-9
+
+
+def test_blocked_trainer_skips_triplet_arrays(make_molecule, rng,
+                                              tmp_path):
+    """Blocked-layout training never reads the per-triplet / neighbor
+    tables; the trainer must not build them (host assembly + transfer
+    dead weight — the serving path already skips them, infer.py)."""
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    cfg = dataclasses.replace(TINY_MODEL, attention_layout="blocked",
+                              use_pallas=False)
+    graphs = synthetic_dataset(12, mean_atoms=8, seed=3, edge_feat_dim=12)
+    targets = np.array([g.num_atoms for g in graphs], dtype=np.float32)
+    trainer = Trainer(X2GNN(cfg), cfg, TINY_TRAIN, graphs, targets,
+                      workdir=str(tmp_path / "blk"))
+    b = next(trainer._batches(trainer.train_idx))
+    assert b.trip_src_edge.shape[0] == 0
+    assert b.nbr_trip.shape[0] == 0
+    state, summary = trainer.fit(epochs=2)
+    assert np.isfinite(summary["best_val_mae"])
+    # segment layout still gets triplets
+    tr_seg = Trainer(X2GNN(TINY_MODEL), TINY_MODEL, TINY_TRAIN, graphs,
+                     targets, workdir=str(tmp_path / "seg"))
+    b2 = next(tr_seg._batches(tr_seg.train_idx))
+    assert b2.trip_src_edge.shape[0] > 0

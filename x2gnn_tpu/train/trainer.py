@@ -95,6 +95,13 @@ class Trainer:
             n, train_cfg.random_seed, (d0, d1))
         self.budgets = budgets or pad_budget_for(
             self.graphs, train_cfg.batch_size)
+        # the blocked layout (and the EP/hybrid paths built on it) never
+        # reads the per-triplet or neighbor-table arrays — skip building
+        # them entirely: they dominate host batch-assembly time and
+        # per-step transfer bytes (the serving path already does this,
+        # infer.py)
+        self._with_triplets = model_cfg.attention_layout != "blocked" \
+            and edge_partition is None
         self.bucket_shapes = int(getattr(train_cfg, "bucket_shapes", 0))
         if self.bucket_shapes and mesh is not None:
             raise ValueError(
@@ -249,7 +256,8 @@ class Trainer:
                     yield pad_graphs(
                         [self.graphs[i] for i in chunk], bud,
                         n_graph=self.tcfg.batch_size,
-                        targets=self.targets[np.asarray(chunk)])
+                        targets=self.targets[np.asarray(chunk)],
+                        with_triplets=self._with_triplets)
 
             it = gen()
         else:
@@ -257,7 +265,8 @@ class Trainer:
             graphs = [self.graphs[i] for i in idx]
             targets = self.targets[np.asarray(idx)]
             it = batch_iterator(graphs, self.tcfg.batch_size,
-                                budgets=self.budgets, targets=targets)
+                                budgets=self.budgets, targets=targets,
+                                with_triplets=self._with_triplets)
         if self._batch_cache is None:
             # large datasets: overlap host batch assembly with device
             # compute (the cache path below makes this moot)
