@@ -286,6 +286,11 @@ def main():
         ai = f_fwd / b_fwd
         balance = PEAK_BF16 / HBM_BW
         bound = "HBM" if ai < balance else "MXU"
+        # when the measured time sits far above BOTH roofline limbs,
+        # neither bandwidth nor FLOPs is the binding constraint — the
+        # kernel is overhead-bound (grid launches, small tiles, gathers)
+        if t_fwd > 5.0 * max(f_fwd / PEAK_BF16, b_fwd / HBM_BW):
+            bound = "overhead"
         eff = 2.0 * real_T * HC * (2 + L_) / t_fwd / PEAK_BF16
         log(f"kernel roofline (fwd): {f_fwd / 1e9:.2f} GFLOP in "
             f"{t_fwd * 1e3:.3f} ms -> {f_fwd / t_fwd / 1e12:.2f} TFLOP/s "
@@ -308,6 +313,7 @@ def main():
                 cost = cost[0]
             xla_flops = float(cost.get("flops", 0.0))
             step_flops = xla_flops + cfg.conv_layers * 3.5 * f_fwd
+            step_mfu = step_flops / t_model / PEAK_BF16
             if xla_flops > 0:
                 log(f"full step: {xla_flops / 1e9:.2f} GFLOP (XLA count) "
                     f"+ ~{cfg.conv_layers * 3.5 * f_fwd / 1e9:.2f} GFLOP "
@@ -328,6 +334,10 @@ def main():
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
         result["bound"] = bound
+        try:
+            result["step_mfu"] = round(step_mfu, 4)
+        except NameError:
+            pass
     print(json.dumps(result))
 
 

@@ -85,6 +85,7 @@ def synthetic_labeled_graph(
     min_atoms: int = 4,
     max_atoms: int = 26,
     cutoff: float = 5.0,
+    featurize: bool = True,
 ) -> MolGraph:
     """One deterministic synthetic molecule with NATIVE integral edge
     features and the independent-particle energy label.
@@ -103,6 +104,12 @@ def synthetic_labeled_graph(
     numbers, pos = random_molecule(rng, n)
     g = build_mol_graph(numbers, pos, y=np.array([0.0]), cutoff=cutoff,
                         edge_feat_dim=EDGE_FEAT_DIM, index=index)
+    if not featurize:
+        # geometry-only stand-in: identical graph STRUCTURE (so identical
+        # batch budgets/compiled shapes) without the integral engine —
+        # used to pre-compile training executables before the featurized
+        # dataset finishes building
+        return g
     S, H_n, ao = one_electron_matrices(numbers, pos)
     g.edge_feat[:] = sa_compress(S, H_n, ao, g.edge_index)
     g.y = np.array([independent_particle_energy(numbers, pos, S, H_n)],
