@@ -228,3 +228,18 @@ def test_trainer_bucketed_budgets_learn_and_log(tmp_path):
         with _pytest.raises(ValueError, match="bucket_shapes"):
             Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, targets,
                     workdir=wd, mesh=make_mesh())
+
+
+def test_geometry_standin_matches_featurized_structure():
+    """featurize=False must reproduce the featurized dataset's STRUCTURE
+    exactly (the precompile-ahead trick depends on identical budgets)."""
+    from x2gnn_tpu.data.synthetic import synthetic_labeled_graph
+    for i in (0, 5):
+        a = synthetic_labeled_graph(i, featurize=False)
+        b = synthetic_labeled_graph(i, featurize=True)
+        np.testing.assert_array_equal(a.numbers, b.numbers)
+        np.testing.assert_allclose(a.positions, b.positions)
+        np.testing.assert_array_equal(a.edge_index, b.edge_index)
+        np.testing.assert_array_equal(a.triplet_index, b.triplet_index)
+        assert np.isfinite(b.y).all() and b.edge_feat.any()
+        assert not a.edge_feat.any()
