@@ -25,9 +25,10 @@ import time
 
 
 def _make_one(args):
-    index, seed, mean_atoms = args
+    index, seed, mean_atoms, featurize = args
     from x2gnn_tpu.data.synthetic import synthetic_labeled_graph
-    return synthetic_labeled_graph(index, seed=seed, mean_atoms=mean_atoms)
+    return synthetic_labeled_graph(index, seed=seed, mean_atoms=mean_atoms,
+                                   featurize=featurize)
 
 
 def main():
@@ -39,6 +40,14 @@ def main():
     ap.add_argument("--chunk", type=int, default=2000)
     ap.add_argument("--cache-dir", default="./processed")
     ap.add_argument("--workers", type=int, default=os.cpu_count())
+    ap.add_argument("--geometry-only", action="store_true",
+                    help="skip integral featurization: identical graph "
+                         "STRUCTURE per index (same rng stream), zero "
+                         "edge features / labels. Same batch budgets and "
+                         "compiled shapes as the featurized dataset, so a "
+                         "training run on it pre-warms the persistent "
+                         "compile cache while the real featurization is "
+                         "still building.")
     args = ap.parse_args()
 
     # the C++ integral engine is OpenMP-parallel; with a process pool the
@@ -67,9 +76,12 @@ def main():
                 print(f"chunk {lo}: cached", file=sys.stderr, flush=True)
                 continue
             t0 = time.time()
-            jobs = [(i, args.seed, args.mean_atoms) for i in range(lo, hi)]
+            jobs = [(i, args.seed, args.mean_atoms,
+                     not args.geometry_only) for i in range(lo, hi)]
             gs = pool.map(_make_one, jobs, chunksize=16)
-            save_graph_cache(part, gs, basis="x2sv")
+            save_graph_cache(part, gs,
+                             basis="geometry-only" if args.geometry_only
+                             else "x2sv")
             done = hi
             rate = args.chunk / max(time.time() - t0, 1e-9)
             print(f"chunk {lo}: {hi - lo} molecules in "
@@ -79,7 +91,9 @@ def main():
     all_graphs = []
     for part in chunk_paths:
         all_graphs.extend(load_graph_cache(part))
-    save_graph_cache(final, all_graphs, basis="x2sv")
+    save_graph_cache(final, all_graphs,
+                     basis="geometry-only" if args.geometry_only
+                     else "x2sv")
     print(f"wrote {final} ({len(all_graphs)} graphs) in "
           f"{(time.time() - t_start) / 60:.0f} min total", file=sys.stderr)
     for part in chunk_paths:

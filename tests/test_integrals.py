@@ -236,3 +236,22 @@ D   1   1.00
     assert shells[2].exponents[0] == pytest.approx(1.5 * 4.0)
     assert shells[0].exponents[0] == pytest.approx(100.0)
     assert shells[3].exponents[0] == pytest.approx(0.8)
+
+
+@pytest.mark.skipif(not native_available(), reason="C++ engine not built")
+def test_cpp_screening_distant_clusters():
+    """Primitive screening (integrals.cpp majorant skip) must be inert on
+    the numbers: two clusters 14 A apart plus tight-core pairs at a few
+    bohr exercise the skip path hard; parity vs the unscreened numpy
+    oracle stays at f64 noise."""
+    numbers = np.array([8, 6, 1, 8, 6, 1])
+    pos = np.array([[0.0, 0, 0], [1.2, 0.2, 0], [-0.6, 0.8, 0.2],
+                    [14.0, 0, 0], [15.2, 0.2, 0], [13.4, 0.8, 0.2]])
+    S1, h1, ao1 = one_electron_matrices_numpy(numbers, pos)
+    S2, h2, ao2 = one_electron_matrices_cpp(numbers, pos)
+    np.testing.assert_allclose(S2, S1, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(h2, h1, rtol=1e-8, atol=1e-10)
+    # far cross-block overlaps are tiny but NOT hard-zeroed wholesale:
+    # the majorant only skips primitive pairs below 1e-16
+    n_half = int(ao1[2, 1])   # ao_slices: end of cluster-1's AOs
+    assert np.abs(S2[:n_half, n_half:]).max() < 1e-3

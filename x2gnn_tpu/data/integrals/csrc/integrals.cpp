@@ -150,15 +150,20 @@ static void boys(int mmax, double T, double* F) {
   }
 }
 
-// Hermite Coulomb R^0_{tuv}; R sized (tmax+1)^3, upper bound tmax = la+lb
-static void hermite_R(int tmax, double p, const double* PC, double* R) {
+// Hermite Coulomb R^0_{tuv}; R sized (tmax+1)^3, upper bound tmax = la+lb.
+// `F` and `buf` are caller-provided scratch (this runs natoms * nprim^2
+// times per shell pair — a heap allocation per call dominated the profile).
+// Every (n,t,u,v) cell read below is written by an earlier recurrence step
+// (the n-ranges shrink exactly with t+u+v), so the scratch needs no zeroing.
+static void hermite_R(int tmax, double p, const double* PC, double* R,
+                      std::vector<double>& F, std::vector<double>& buf) {
   const int n_max = 3 * tmax;
   const double T = p * (PC[0] * PC[0] + PC[1] * PC[1] + PC[2] * PC[2]);
-  std::vector<double> F(n_max + 1);
+  F.resize(n_max + 1);
   boys(n_max, T, F.data());
   const int D = tmax + 1;
   // Rn[n][t][u][v]
-  std::vector<double> buf((size_t)(n_max + 1) * D * D * D, 0.0);
+  buf.resize((size_t)(n_max + 1) * D * D * D);
   auto at = [&](int n, int t, int u, int v) -> double& {
     return buf[(((size_t)n * D + t) * D + u) * D + v];
   };
@@ -253,6 +258,10 @@ extern "C" int x2_one_electron(
     const int tmax = la + lb;
     const int D = tmax + 1;
     std::vector<double> R((size_t)D * D * D);
+    std::vector<double> Fscr, Rscr;  // hermite_R scratch, reused
+    const double AB2 = (A[0] - B[0]) * (A[0] - B[0]) +
+                       (A[1] - B[1]) * (A[1] - B[1]) +
+                       (A[2] - B[2]) * (A[2] - B[2]);
 
     for (int ip = 0; ip < sa.nprim; ++ip) {
       for (int jp = 0; jp < sb.nprim; ++jp) {
@@ -260,6 +269,22 @@ extern "C" int x2_one_electron(
         const double w = sa.coefs[ip] * sb.coefs[jp];
         const double p = a + b;
         const double pref = std::pow(M_PI / p, 1.5);
+        // primitive screening: every S/T/V term carries the Gaussian
+        // product factor exp(-q|AB|^2) through the E-table products. The
+        // E coefficients additionally grow at most polynomially
+        // (|XPA|,|XPB| <= |AB|, degree <= la+lb+4 incl. the kinetic j+2
+        // shift and its b^2 prefactor), so the skip bound folds in a
+        // (1+AB^2)^((la+lb+4)/2) * (1+2b(b+1)) majorant and a
+        // natoms*Z_max nuclear-attraction scale. Kills tight-core
+        // primitive pairs beyond ~1 bohr and anything truly remote;
+        // verified to change S/T/V by < 1e-12 elementwise
+        // (tests/test_integrals.py screening test).
+        const double Kab = std::exp(-a * b / p * AB2);
+        const double poly = std::pow(1.0 + AB2, 0.5 * (la + lb + 4));
+        const double majorant = std::abs(w) * Kab * poly *
+                                (1.0 + 2.0 * b * (b + 1.0)) *
+                                (pref + 2.0 * M_PI / p * natoms * 9.0);
+        if (majorant < 1e-16) continue;
         hermite_E(la, lb + 2, a, b, A[0] - B[0], Ex);
         hermite_E(la, lb + 2, a, b, A[1] - B[1], Ey);
         hermite_E(la, lb + 2, a, b, A[2] - B[2], Ez);
@@ -294,7 +319,7 @@ extern "C" int x2_one_electron(
         for (int ic = 0; ic < natoms; ++ic) {
           const double PC[3] = {P[0] - xyz[3 * ic], P[1] - xyz[3 * ic + 1],
                                 P[2] - xyz[3 * ic + 2]};
-          hermite_R(tmax, p, PC, R.data());
+          hermite_R(tmax, p, PC, R.data(), Fscr, Rscr);
           const double zc = (double)Z[ic];
           for (int ai = 0; ai < nca; ++ai) {
             const Mono ma = mons[la][ai];

@@ -143,8 +143,11 @@ class Trainer:
             self._train_step = make_hybrid_train_step(
                 model_cfg, self.optimizer, train_cfg.ema_decay, mesh,
                 n_pad, kv_exchange=edge_partition)
+            # std=1.0: the MAE calibration is applied host-side in
+            # evaluate() so the compiled eval executable is independent
+            # of the run's target sigma (precompile/CV cache reuse)
             self._eval_step = make_hybrid_eval_step(
-                model_cfg, mesh, n_pad, std=std,
+                model_cfg, mesh, n_pad, std=1.0,
                 kv_exchange=edge_partition)
         elif mesh is not None and edge_partition is not None:
             from x2gnn_tpu.parallel.ep_model import (
@@ -160,8 +163,7 @@ class Trainer:
 
             def _ep_eval(ema_params, epb):
                 pred = ep_fwd(ema_params, epb)
-                err = masked_mae(pred, epb.y, mask=epb.graph_mask,
-                                 scale=self.std)
+                err = masked_mae(pred, epb.y, mask=epb.graph_mask)
                 return err, epb.graph_mask.sum()
 
             self._eval_step = _ep_eval
@@ -172,7 +174,7 @@ class Trainer:
                 model, self.optimizer, train_cfg.ema_decay, mesh,
                 dropout=model_cfg.dropout,
                 rng_seed=train_cfg.random_seed)
-            self._eval_step = make_dp_eval_step(model, mesh, std=std)
+            self._eval_step = make_dp_eval_step(model, mesh, std=1.0)
             self.n_dev = int(mesh.devices.size)
         else:
             self._train_step = jax.jit(
@@ -209,9 +211,13 @@ class Trainer:
                                            self.tcfg.ema_decay)
 
     def _default_eval_step(self, ema_params, batch: GraphBatch):
+        # unscaled inside jit: `self.std` is a run-dependent Python float,
+        # and baking it in as a constant would key the compiled executable
+        # on it (a precompile pass or a CV fold with a different target
+        # sigma would recompile the whole eval graph). The calibration is
+        # linear, so evaluate() applies it host-side instead.
         pred = self.model.apply(ema_params, batch)
-        err = masked_mae(pred, batch.y, mask=batch.graph_mask,
-                         scale=self.std)
+        err = masked_mae(pred, batch.y, mask=batch.graph_mask)
         return err, batch.graph_mask.sum()
 
     # ---- state -----------------------------------------------------------
@@ -381,7 +387,9 @@ class Trainer:
         accum = jax.device_get(accum)   # bulk fetch, not a sync per batch
         total = sum(float(err) for err, _ in accum)
         count = sum(int(g) for _, g in accum)
-        return total / max(count, 1)
+        # calibration applied here, NOT inside the jitted eval step: keeps
+        # the compiled executable independent of the run's target sigma
+        return self.std * total / max(count, 1)
 
     def fit(self, epochs: Optional[int] = None,
             state: Optional[TrainState] = None,
