@@ -10,7 +10,7 @@ raw/AID_kcal.xyz); here the folds train from scratch with the reference
 recipe scaled to the dataset (same model config, warmup shortened).
 
 Usage (TPU):
-  PYTHONPATH=/root/repo python scripts/aid_cv.py --folds 5 --epochs 300 \
+  python scripts/aid_cv.py --folds 5 --epochs 300 \
       --workdir runs/aid_cv
 Writes runs/aid_cv/fold_k/metrics.jsonl + runs/aid_cv/summary.json.
 """
@@ -24,6 +24,12 @@ import os
 import sys
 
 import numpy as np
+
+# repo root on sys.path HERE rather than via PYTHONPATH: an exported
+# PYTHONPATH=/root/repo shadows modules the TPU-plugin sitecustomize
+# imports at interpreter start and silently breaks backend registration
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def linear_composition_baseline(numbers_list, y, train_idx, test_idx):

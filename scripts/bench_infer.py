@@ -10,6 +10,13 @@ Usage: PYTHONPATH=/root/repo python scripts/bench_infer.py [--molecules 256]
 
 from __future__ import annotations
 
+# repo root on sys.path HERE rather than via PYTHONPATH: an exported
+# PYTHONPATH=/root/repo shadows modules the TPU-plugin sitecustomize
+# imports at interpreter start and silently breaks backend registration
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

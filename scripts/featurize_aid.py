@@ -6,10 +6,17 @@ run that dies loses everything. This script featurizes in chunks of
 present), then merges chunks into the canonical load_dataset cache name
 (AID_kcal_native_c5.npz) so train.py / evaluate.py pick it up directly.
 
-Usage: PYTHONPATH=/root/repo python scripts/featurize_aid.py [--chunk 24]
+Usage: python scripts/featurize_aid.py [--chunk 24]
 """
 
 from __future__ import annotations
+
+# repo root on sys.path HERE rather than via PYTHONPATH: an exported
+# PYTHONPATH=/root/repo shadows modules the TPU-plugin sitecustomize
+# imports at interpreter start and silently breaks backend registration
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 
 import argparse
 import os
