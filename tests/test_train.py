@@ -407,3 +407,39 @@ def test_blocked_trainer_skips_triplet_arrays(make_molecule, rng,
                      targets, workdir=str(tmp_path / "seg"))
     b2 = next(tr_seg._batches(tr_seg.train_idx))
     assert b2.trip_src_edge.shape[0] > 0
+
+
+def test_feat_dtype_float16_close_to_f32(make_molecule, rng, tmp_path):
+    """fp16 edge-feature transfer (trainer feat_dtype) is a wire/HBM
+    compression, not a numerics mode: one epoch's loss matches the f32
+    run to ~fp16 input rounding, and evaluate() stays finite/close."""
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    # features in [0, 1] like the real sa_compress output
+    for g in graphs:
+        g.edge_feat[:] = np.abs(g.edge_feat) / (
+            np.abs(g.edge_feat).max() + 1e-9)
+    losses = {}
+    for dt in ("float32", "float16"):
+        model = X2GNN(TINY_MODEL)
+        trainer = Trainer(model, TINY_MODEL, TINY_TRAIN, graphs, targets,
+                          workdir=str(tmp_path / f"run_{dt}"),
+                          feat_dtype=dt)
+        state = trainer.init_state()
+        state, loss = trainer.run_epoch(state)
+        losses[dt] = (loss, trainer.evaluate(state, trainer.val_idx))
+    l32, v32 = losses["float32"]
+    l16, v16 = losses["float16"]
+    assert np.isfinite(l16) and np.isfinite(v16)
+    assert l16 == pytest.approx(l32, rel=2e-2)
+    assert v16 == pytest.approx(v32, rel=5e-2)
+
+
+def test_feat_dtype_rejects_ep(make_molecule, rng, tmp_path):
+    jax.config.update("jax_num_cpu_devices", 8)
+    from x2gnn_tpu.parallel.mesh import make_mesh
+    graphs, targets = _tiny_dataset(make_molecule, rng)
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="float16"):
+        Trainer(X2GNN(TINY_MODEL), TINY_MODEL, TINY_TRAIN, graphs,
+                targets, workdir=str(tmp_path / "r"), mesh=mesh,
+                edge_partition="allgather", feat_dtype="float16")

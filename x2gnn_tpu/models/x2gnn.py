@@ -82,6 +82,11 @@ class X2GNN(nn.Module):
             src_flat = batch.edge_src
             gid_flat = batch.edge_gid
             mask_flat = edge_mask
+        # integral features may arrive float16 (transfer/HBM-cache
+        # compression — they are bounded in [0, ~1], so fp16 costs only
+        # ~5e-4 relative rounding); all math runs f32. A no-op for f32
+        # inputs (same jaxpr, compiled executables unaffected).
+        edge_feat = edge_feat.astype(jnp.float32)
         trip_mask = batch.trip_mask
         # padded edges have d == 0; clamp away from the envelope's 1/x pole
         d_safe = jnp.where(edge_mask, d, 1.0)

@@ -61,6 +61,7 @@ class Trainer:
         mesh=None,
         cache_batches: Optional[bool] = None,
         edge_partition: Optional[str] = None,
+        feat_dtype: str = "float32",
     ):
         """`mesh`: a jax.sharding.Mesh with a 'data' axis enables
         molecule-sharded data parallelism (per-device batch groups,
@@ -76,7 +77,15 @@ class Trainer:
 
         `cache_batches`: keep padded batches across epochs (the split
         order is fixed, trainer.py:22-27, so batches are identical every
-        epoch). None = auto (on for datasets under ~20k molecules)."""
+        epoch). None = auto (on for datasets under ~20k molecules).
+
+        `feat_dtype`: dtype for the integral edge features on the wire
+        and in the device cache. 'float16' halves the dominant
+        host->TPU transfer and HBM-cache bytes; the features are
+        bounded in [0, ~1] (sa_compress output), so fp16 costs only
+        ~5e-4 relative input rounding — the model upcasts to f32 at
+        entry and all math is unchanged. Single-device and plain-DP
+        paths only (the EP/hybrid batch preprocessing is f32)."""
         self.model = model
         self.mcfg = model_cfg
         self.tcfg = train_cfg
@@ -102,6 +111,14 @@ class Trainer:
         # infer.py)
         self._with_triplets = model_cfg.attention_layout != "blocked" \
             and edge_partition is None
+        if feat_dtype not in ("float32", "float16"):
+            raise ValueError(f"feat_dtype must be float32/float16, "
+                             f"got {feat_dtype!r}")
+        if feat_dtype == "float16" and (mesh is not None
+                                        and edge_partition is not None):
+            raise ValueError("feat_dtype='float16' is not supported on "
+                             "the EP/hybrid paths (f32 preprocessing)")
+        self._feat_dtype = feat_dtype
         self.bucket_shapes = int(getattr(train_cfg, "bucket_shapes", 0))
         if self.bucket_shapes and mesh is not None:
             raise ValueError(
@@ -245,6 +262,13 @@ class Trainer:
             }
         self._totals[key] = stats
 
+    def _cast_feat(self, batch):
+        """Edge-feature wire/cache dtype (see __init__ `feat_dtype`)."""
+        if self._feat_dtype == "float32":
+            return batch
+        return batch.replace(
+            edge_feat=np.asarray(batch.edge_feat, np.float16))
+
     def _batches(self, idx):
         key = self._cache_key(idx)
         if self._batch_cache is not None and key in self._batch_cache:
@@ -259,20 +283,21 @@ class Trainer:
 
             def gen():
                 for chunk, bud in zip(chunks, chunk_budgets):
-                    yield pad_graphs(
+                    yield self._cast_feat(pad_graphs(
                         [self.graphs[i] for i in chunk], bud,
                         n_graph=self.tcfg.batch_size,
                         targets=self.targets[np.asarray(chunk)],
-                        with_triplets=self._with_triplets)
+                        with_triplets=self._with_triplets))
 
             it = gen()
         else:
             self._record_totals(key, idx)
             graphs = [self.graphs[i] for i in idx]
             targets = self.targets[np.asarray(idx)]
-            it = batch_iterator(graphs, self.tcfg.batch_size,
-                                budgets=self.budgets, targets=targets,
-                                with_triplets=self._with_triplets)
+            it = (self._cast_feat(b) for b in batch_iterator(
+                graphs, self.tcfg.batch_size,
+                budgets=self.budgets, targets=targets,
+                with_triplets=self._with_triplets))
         if self._batch_cache is None:
             # large datasets: overlap host batch assembly with device
             # compute (the cache path below makes this moot)
