@@ -5,12 +5,21 @@ fold-out MAE mean +/- std over K folds, in total kcal/mol AND kcal/mol
 per atom, against a trivial baseline (least-squares energy ~ element
 counts) the GNN must beat.
 
+Target scheme: each fold fits a per-element reference energy by least
+squares on ITS train split and the GNN learns the residual — the same
+composition-subtraction the reference applies to QM9 U0 via the fixed
+atom_ref table (train_ema.py:28-38: y - sum(atom_ref[Z])); AID has no
+published per-atom references, so they are fitted. The baseline
+predictor is the atom-ref fit alone (residual = 0), making "GNN beats
+composition" the direct comparison: total-energy MAE of (atomref + GNN
+residual) vs atomref alone on held-out molecules.
+
 The reference's AID usage is transfer evaluation (README.md:21-22,
 raw/AID_kcal.xyz); here the folds train from scratch with the reference
 recipe scaled to the dataset (same model config, warmup shortened).
 
 Usage (TPU):
-  python scripts/aid_cv.py --folds 5 --epochs 300 \
+  python scripts/aid_cv.py --folds 5 --epochs 150 \
       --workdir runs/aid_cv
 Writes runs/aid_cv/fold_k/metrics.jsonl + runs/aid_cv/summary.json.
 """
@@ -32,8 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def linear_composition_baseline(numbers_list, y, train_idx, test_idx):
-    """Least-squares y ~ per-element atom counts (+ intercept)."""
+def fit_atom_ref(numbers_list, y, train_idx):
+    """Least-squares per-element reference energies (+ intercept) on the
+    train split: the fitted analogue of the reference's atom_ref table
+    (train_ema.py:28-38). Returns predictions for ALL molecules."""
     zs = sorted({int(z) for nums in numbers_list for z in nums})
     X = np.zeros((len(numbers_list), len(zs) + 1))
     for m, nums in enumerate(numbers_list):
@@ -41,8 +52,7 @@ def linear_composition_baseline(numbers_list, y, train_idx, test_idx):
             X[m, j] = (np.asarray(nums) == z).sum()
         X[m, -1] = 1.0
     coef, *_ = np.linalg.lstsq(X[train_idx], y[train_idx], rcond=None)
-    pred = X[test_idx] @ coef
-    return pred
+    return X @ coef
 
 
 def main():
@@ -50,7 +60,7 @@ def main():
     ap.add_argument("--data", default="/root/reference/raw/AID_kcal.xyz")
     ap.add_argument("--cache-dir", default="./processed")
     ap.add_argument("--folds", type=int, default=5)
-    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--workdir", default="runs/aid_cv")
     ap.add_argument("--layout", default="blocked")
@@ -109,9 +119,13 @@ def main():
         val_idx = rest[:max(len(rest) // 8, args.batch_size)]
         train_idx = rest[len(val_idx):]
 
-        mu = float(y[train_idx].mean())
-        sigma = float(y[train_idx].std() + 1e-12)
-        targets = ((y - mu) / sigma).astype(np.float32)
+        # composition subtraction (fitted atom_ref, train split only) +
+        # standardized residual targets
+        atomref = fit_atom_ref([g.numbers for g in graphs], y, train_idx)
+        resid = y - atomref
+        mu = float(resid[train_idx].mean())
+        sigma = float(resid[train_idx].std() + 1e-12)
+        targets = ((resid - mu) / sigma).astype(np.float32)
 
         tcfg = TrainConfig(batch_size=args.batch_size,
                            max_lr=args.max_lr,
@@ -126,16 +140,17 @@ def main():
         trainer.test_idx = test_idx
         state, summary = trainer.fit(epochs=args.epochs)
 
-        # fold-out predictions with the best checkpoint's EMA weights
+        # fold-out predictions with the best checkpoint's EMA weights:
+        # total energy = fitted atomref + GNN residual
         best = trainer.restore(os.path.join(fold_dir, "ckpt_best"))
         preds = []
         for batch in trainer._batches(test_idx):
             p = np.asarray(trainer.model.apply(best.ema.params, batch))
             preds.append(p[np.asarray(batch.graph_mask).astype(bool)])
-        pred = np.concatenate(preds)[:len(test_idx)] * sigma + mu
+        pred_resid = np.concatenate(preds)[:len(test_idx)] * sigma + mu
+        pred = atomref[test_idx] + pred_resid
 
-        base_pred = linear_composition_baseline(
-            [g.numbers for g in graphs], y, train_idx, test_idx)
+        base_pred = atomref[test_idx]   # composition baseline: residual=0
         res = {
             "fold": k,
             "test_mae_kcal": float(np.abs(pred - y[test_idx]).mean()),
@@ -146,7 +161,7 @@ def main():
             "baseline_mae_kcal_per_atom": float(
                 (np.abs(base_pred - y[test_idx])
                  / n_atoms[test_idx]).mean()),
-            "best_val_mae_kcal": float(summary["best_val_mae"]),
+            "best_val_mae_resid_kcal": float(summary["best_val_mae"]),
             "n_train": int(len(train_idx)), "n_test": int(len(test_idx)),
         }
         with open(cache, "w") as f:
