@@ -41,18 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def fit_atom_ref(numbers_list, y, train_idx):
-    """Least-squares per-element reference energies (+ intercept) on the
-    train split: the fitted analogue of the reference's atom_ref table
-    (train_ema.py:28-38). Returns predictions for ALL molecules."""
-    zs = sorted({int(z) for nums in numbers_list for z in nums})
-    X = np.zeros((len(numbers_list), len(zs) + 1))
-    for m, nums in enumerate(numbers_list):
-        for j, z in enumerate(zs):
-            X[m, j] = (np.asarray(nums) == z).sum()
-        X[m, -1] = 1.0
-    coef, *_ = np.linalg.lstsq(X[train_idx], y[train_idx], rcond=None)
-    return X @ coef
+from x2gnn_tpu.data.molecule import fit_linear_atomref
 
 
 def main():
@@ -121,7 +110,8 @@ def main():
 
         # composition subtraction (fitted atom_ref, train split only) +
         # standardized residual targets
-        atomref = fit_atom_ref([g.numbers for g in graphs], y, train_idx)
+        atomref, _ = fit_linear_atomref(
+            [g.numbers for g in graphs], y, train_idx)
         resid = y - atomref
         mu = float(resid[train_idx].mean())
         sigma = float(resid[train_idx].std() + 1e-12)

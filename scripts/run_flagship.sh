@@ -14,7 +14,8 @@ RSS_LIMIT_KB=${RSS_LIMIT_KB:-62000000}   # 62 GB: restart before host OOM
 for attempt in $(seq 1 200); do
   python train.py --data-npz "$DATA" --workdir "$WD" \
     --config configs/flagship_synthq.json --epochs "$EPOCHS" \
-    --layout blocked --standardize --bucket-shapes 3 \
+    --layout blocked --standardize --bucket-shapes 4 \
+    --cache-batches on --feat-dtype float16 \
     --ckpt-every 1 --auto-resume --ckpt-after-epoch 0 \
     >> "$WD.log" 2>&1 &
   PID=$!

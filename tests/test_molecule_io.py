@@ -99,3 +99,27 @@ def test_geometry_string():
                  labels=[0.0])
     s = m.geometry_string()
     assert s.startswith("O 0.0") and "\nH 1.0" in s
+
+
+def test_fit_linear_atomref_recovers_planted_coefficients():
+    """On labels that ARE a linear function of composition, the fitted
+    atomref must recover it exactly and leave zero residual; the fit
+    uses train indices only."""
+    import numpy as np
+    from x2gnn_tpu.data.molecule import fit_linear_atomref
+
+    rng = np.random.default_rng(123)
+    true = {1: -13.6, 6: -1030.0, 8: -2043.5}
+    mols, y = [], []
+    for _ in range(30):
+        nums = rng.choice([1, 6, 8], size=rng.integers(2, 9))
+        mols.append(nums)
+        y.append(sum(true[int(z)] for z in nums) + 7.5)
+    y = np.array(y)
+    train_idx = np.arange(20)
+    pred, table = fit_linear_atomref(mols, y, train_idx)
+    np.testing.assert_allclose(pred, y, rtol=0, atol=1e-6)
+    assert table[6] == pytest.approx(true[6], abs=1e-6)
+    assert table["intercept"] == pytest.approx(7.5, abs=1e-5)
+    # held-out molecules (not in train_idx) predicted exactly too
+    np.testing.assert_allclose(pred[20:], y[20:], atol=1e-6)

@@ -115,6 +115,13 @@ def parse_args(argv=None):
     p.add_argument("--standardize", action="store_true",
                    help="z-score targets over the train split; reported "
                         "MAE is rescaled back to physical units")
+    p.add_argument("--atomref-fit", action="store_true",
+                   help="subtract a least-squares per-element reference "
+                        "energy fitted on the train split before "
+                        "(optional) standardization — the fitted analogue "
+                        "of the reference's fixed QM9 atom_ref table for "
+                        "datasets without published per-atom references; "
+                        "coefficients archived in workdir/atomref.json")
     return p.parse_args(argv)
 
 
@@ -214,6 +221,28 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     with open(os.path.join(args.workdir, "provenance.json"), "w") as f:
         json.dump({"basis": data_basis}, f)
+
+    if args.atomref_fit:
+        import numpy as np
+        from x2gnn_tpu.data.molecule import fit_linear_atomref
+        from x2gnn_tpu.train.trainer import make_split
+        # the SAME deterministic split the Trainer will build: the fit
+        # must see train molecules only (no val/test leakage)
+        n = len(graphs)
+        d0, d1 = tcfg.division
+        if n <= d1:
+            d0 = max(1, n // 10)
+            d1 = min(n - 1, 2 * d0)
+        fit_idx, _, _ = make_split(n, tcfg.random_seed, (d0, d1))
+        atomref_pred, table = fit_linear_atomref(
+            [g.numbers for g in graphs], targets, fit_idx)
+        targets = np.asarray(targets, np.float64) - atomref_pred
+        print("atomref-fit: residual std "
+              f"{targets[fit_idx].std():.4f} (was "
+              f"{np.asarray(atomref_pred)[fit_idx].std():.1f} comp.)",
+              file=sys.stderr)
+        with open(os.path.join(args.workdir, "atomref.json"), "w") as f:
+            json.dump(table, f, indent=1)
 
     if args.standardize:
         import numpy as np

@@ -177,6 +177,30 @@ def atomization_target(
     return y
 
 
+def fit_linear_atomref(
+    numbers_per_mol: Sequence[np.ndarray],
+    y: np.ndarray,
+    train_idx: np.ndarray,
+):
+    """Least-squares per-element reference energies (+ intercept), fitted
+    on `train_idx` only — the fitted analogue of the reference's fixed
+    QM9 atom_ref table (train_ema.py:28-38) for datasets that ship no
+    per-atom references (AID, the synthetic sets). Returns
+    (predictions for ALL molecules, {Z: coef} dict incl. 'intercept')."""
+    zs = sorted({int(z) for nums in numbers_per_mol for z in nums})
+    X = np.zeros((len(numbers_per_mol), len(zs) + 1))
+    for m, nums in enumerate(numbers_per_mol):
+        for j, z in enumerate(zs):
+            X[m, j] = (np.asarray(nums) == z).sum()
+        X[m, -1] = 1.0
+    y = np.asarray(y, dtype=np.float64)
+    coef, *_ = np.linalg.lstsq(X[np.asarray(train_idx)],
+                               y[np.asarray(train_idx)], rcond=None)
+    table = {int(z): float(c) for z, c in zip(zs, coef[:-1])}
+    table["intercept"] = float(coef[-1])
+    return X @ coef, table
+
+
 def report_calibration(target: int) -> float:
     """MAE report scale: eV -> kcal/mol for energy targets, else 1.0
     (train_ema.py:34-38, applied at eval in trainer.py:57)."""
