@@ -141,6 +141,21 @@ def main(argv=None):
                            allow=args.allow_basis_mismatch,
                            context=f" (ckpt {args.ckpt})")
 
+    # runs trained with --atomref-fit predict composition-subtracted
+    # residuals: apply the archived per-element table to the targets
+    # (same order as train.py — atomref first, then standardization)
+    atomref_path = os.path.join(run_dir, "atomref.json")
+    if os.path.exists(atomref_path):
+        with open(atomref_path) as f:
+            table = json.load(f)
+        icept = float(table.pop("intercept", 0.0))
+        refs = {int(z): float(c) for z, c in table.items()}
+        targets = np.asarray(targets, np.float64) - np.array(
+            [sum(refs.get(int(z), 0.0) for z in g.numbers) + icept
+             for g in graphs])
+        print(f"using {atomref_path} (reported MAE is on atomref "
+              "residuals)", file=sys.stderr)
+
     if args.stats:
         stats = json.load(open(args.stats))
         targets = ((targets - stats["mu"]) / stats["sigma"]).astype(
