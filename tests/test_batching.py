@@ -243,3 +243,75 @@ def test_geometry_standin_matches_featurized_structure():
         np.testing.assert_array_equal(a.triplet_index, b.triplet_index)
         assert np.isfinite(b.y).all() and b.edge_feat.any()
         assert not a.edge_feat.any()
+
+
+def test_pack_to_budget_plan_covers_fits_and_fills():
+    from x2gnn_tpu.data.batching import pad_budget_for, size_bucketed_plan
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    graphs = (synthetic_dataset(30, mean_atoms=6, seed=11)
+              + synthetic_dataset(30, mean_atoms=16, seed=12)
+              + synthetic_dataset(30, mean_atoms=26, seed=13))
+    base = pad_budget_for(graphs, 8)
+    idx = np.arange(len(graphs))
+    fixed = size_bucketed_plan(graphs, idx, 8, 4, base, pack=False)
+    packed = size_bucketed_plan(graphs, idx, 8, 4, base, pack=True)
+    chunks, budgets, stats = packed
+    # every molecule exactly once
+    np.testing.assert_array_equal(np.sort(np.concatenate(chunks)), idx)
+    for chunk, bud in zip(chunks, budgets):
+        gs = [graphs[i] for i in chunk]
+        assert sum(g.num_atoms for g in gs) <= bud.n_node
+        assert sum(g.num_edges for g in gs) <= bud.n_edge
+        assert sum(g.num_triplets for g in gs) <= bud.n_trip
+        assert bud.n_graph >= len(chunk)
+    # fewer steps, strictly better occupancy than fixed-count batches,
+    # and no new compute shapes
+    assert len(chunks) < len(fixed[0])
+    occ_fixed = fixed[2]["real"][0] / fixed[2]["padded"][0]
+    occ_packed = stats["real"][0] / stats["padded"][0]
+    assert occ_packed > occ_fixed
+    # tiny 90-molecule set: few batches per class caps the gain; at
+    # dataset scale (50k stand-in) the planner measures 0.98 nodes
+    assert occ_packed > 0.8
+    fixed_nshapes = {(b.n_node, b.n_edge, b.n_trip) for b in fixed[1]}
+    packed_nshapes = {(b.n_node, b.n_edge, b.n_trip) for b in budgets}
+    assert packed_nshapes == fixed_nshapes
+    # deterministic
+    again = size_bucketed_plan(graphs, idx, 8, 4, base, pack=True)
+    for a, b in zip(chunks, again[0]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_pack_budget_trains_and_counts_steps(tmp_path):
+    import json
+    import os
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+    graphs = (synthetic_dataset(16, mean_atoms=5, seed=21, edge_feat_dim=12)
+              + synthetic_dataset(16, mean_atoms=14, seed=22,
+                                  edge_feat_dim=12))
+    targets = np.array([g.num_atoms for g in graphs], dtype=np.float32)
+    mcfg = ModelConfig(conv_layers=1, in_channels=16, embedding_size=16,
+                       heads=2, sbf_dim=2, rbf_dim=2, edge_feat_dim=12,
+                       attention_layout="blocked")
+    tcfg = TrainConfig(batch_size=4, max_lr=5e-3, warmup_steps=5,
+                       division=(4, 8), ckpt_after_epoch=0,
+                       bucket_shapes=3, pack_budget=True)
+    wd = str(tmp_path / "packed")
+    trainer = Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, targets,
+                      workdir=wd)
+    assert trainer._steps_per_epoch() <= -(-24 // 4)
+    state, summary = trainer.fit(epochs=2)
+    assert np.isfinite(summary["best_val_mae"])
+    rec = [json.loads(l) for l in open(os.path.join(wd,
+                                                    "metrics.jsonl"))][-1]
+    assert rec["occupancy_nodes"] > 0.8
+    # pack without buckets must refuse loudly
+    import dataclasses
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pack_budget"):
+        Trainer(X2GNN(mcfg), mcfg,
+                dataclasses.replace(tcfg, bucket_shapes=0),
+                graphs, targets, workdir=wd)

@@ -77,6 +77,12 @@ def parse_args(argv=None):
                         "size and compile N quantized batch shapes "
                         "instead of one worst-case shape (single-device; "
                         "raises occupancy on heterogeneous datasets)")
+    p.add_argument("--pack-budget", action="store_true",
+                   help="with --bucket-shapes: pack each batch to its "
+                        "class budget (variable molecules per step, "
+                        "fixed compute shape) instead of a fixed "
+                        "batch-size count — planner occupancy ~0.95+ "
+                        "vs ~0.8 at 4 buckets")
     p.add_argument("--accum-steps", type=int, default=None,
                    help="gradient accumulation: apply the optimizer every "
                         "N micro-batches (effective batch = N*batch_size)")
@@ -164,6 +170,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     if args.ckpt_every is not None:
         tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
+    if args.pack_budget:
+        tcfg = dataclasses.replace(tcfg, pack_budget=True)
     for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps",
                   "scheduler", "bucket_shapes"):
         v = getattr(args, field)

@@ -115,6 +115,14 @@ class TrainConfig:
     # Each shape costs one XLA compile; occupancy on heterogeneous
     # datasets rises from ~50-60% to >90% (metrics.jsonl 'occupancy_*').
     bucket_shapes: int = 0
+    # with bucket_shapes: pack each batch to its class budget (variable
+    # molecules per step at fixed compute shape) instead of a fixed
+    # batch_size molecules — reclaims the padding fixed-count batches
+    # leave (planner occupancy ~0.95+ vs ~0.8 at 4 buckets on the
+    # synthetic QM9-scale set). Divergence from the reference recipe:
+    # steps/epoch drops and per-step molecule count varies (documented
+    # in DECISIONS.md).
+    pack_budget: bool = False
 
     # static batch padding budgets (TPU-specific; no reference equivalent).
     # Defaults fit QM9 at batch_size 32 with the 5 A cutoff.

@@ -38,6 +38,11 @@ class Budgets(NamedTuple):
     # the (much more numerous) low-degree atoms.
     n_deg_lo: int = 0
     n_hi: int = 0
+    # graph-slot budget for pack-to-budget batches (0 = the trainer's
+    # batch_size): packed batches hold MORE (small) molecules than the
+    # nominal batch size, so the static graph dimension must cover the
+    # largest packed count in the budget class
+    n_graph: int = 0
 
 
 @struct.dataclass
@@ -349,9 +354,16 @@ def size_bucketed_plan(
     num_shapes: int,
     base: Budgets,
     multiple: int = 8,
+    pack: bool = False,
 ):
     """Plan size-grouped batches over `idx` with a CLOSED set of quantized
     budget shapes.
+
+    `pack=True` additionally packs each batch to its class budget
+    (variable molecules per step, fixed compute shape) instead of a
+    fixed `batch_size` molecules — see the inline comment. The returned
+    per-chunk Budgets then carry `n_graph` (the static graph-slot
+    dimension for that class).
 
     The single worst-case budget (pad_budget_for: sum of the batch_size
     largest molecules) wastes a large constant factor on heterogeneous
@@ -373,33 +385,30 @@ def size_bucketed_plan(
     idx = np.asarray(idx)
     t_sizes = np.array([graphs[i].num_triplets for i in idx])
     idx = idx[np.argsort(-t_sizes, kind="stable")]
-    chunks = [idx[lo:lo + batch_size]
-              for lo in range(0, len(idx), batch_size)]
 
     want_split = base.n_deg_lo > 0 and base.n_hi > 0
-    needs = []
-    for c in chunks:
-        gs = [graphs[i] for i in c]
-        n = sum(g.num_atoms for g in gs)
-        e = sum(g.num_edges for g in gs)
-        t = sum(g.num_triplets for g in gs)
+    mol_needs = np.zeros((len(idx), 4), dtype=np.int64)
+    for m, i in enumerate(idx):
+        g = graphs[i]
         hi = 0
-        if want_split:
-            for g in gs:
-                if g.num_edges:
-                    deg = np.maximum(
-                        np.bincount(g.edge_index[0], minlength=g.num_atoms),
-                        np.bincount(g.edge_index[1], minlength=g.num_atoms))
-                    hi += int((deg > base.n_deg_lo).sum())
-        needs.append((n, e, t, hi))
-    needs = np.array(needs, dtype=np.int64)
+        if want_split and g.num_edges:
+            deg = np.maximum(
+                np.bincount(g.edge_index[0], minlength=g.num_atoms),
+                np.bincount(g.edge_index[1], minlength=g.num_atoms))
+            hi = int((deg > base.n_deg_lo).sum())
+        mol_needs[m] = (g.num_atoms, g.num_edges, g.num_triplets, hi)
+
+    pos_chunks = [np.arange(lo, min(lo + batch_size, len(idx)))
+                  for lo in range(0, len(idx), batch_size)]
+    needs = np.array([mol_needs[c].sum(axis=0) for c in pos_chunks],
+                     dtype=np.int64)
 
     def round_up(v):
         return ((max(int(v), 1) + multiple - 1) // multiple) * multiple
 
-    n_chunks = len(chunks)
+    n_chunks = len(pos_chunks)
     per_class = max(1, -(-n_chunks // max(num_shapes, 1)))
-    budgets = []
+    chunks, budgets = [], []
     for lo in range(0, n_chunks, per_class):
         cls = needs[lo:lo + per_class]
         n_node = round_up(cls[:, 0].max())
@@ -410,13 +419,45 @@ def size_bucketed_plan(
         if not want_split or n_hi >= n_node:
             n_hi = d_lo = 0   # split would cover every row: plain kernel
         b = Budgets(n_node, n_edge, n_trip, base.n_deg, d_lo, n_hi)
-        budgets.extend([b] * len(cls))
+        a = lo * batch_size
+        z = min((lo + per_class) * batch_size, len(idx))
+        if not pack:
+            cls_chunks = [idx[p] for p in pos_chunks[lo:lo + per_class]]
+        else:
+            # pack-to-budget: greedily fill each batch with consecutive
+            # (size-sorted) molecules while it fits the CLASS budget —
+            # small-molecule classes hold far more than batch_size
+            # molecules per step, reclaiming the padding that fixed
+            # 32-molecule batches leave on the table. The graph-slot
+            # dimension becomes the class's largest packed count
+            # (n_graph); node/edge/triplet shapes are unchanged, so a
+            # class still compiles exactly once.
+            cls_chunks = []
+            cur, acc = [], np.zeros(4, dtype=np.int64)
+            for p in range(a, z):
+                need = mol_needs[p]
+                fits = (acc[0] + need[0] <= b.n_node
+                        and acc[1] + need[1] <= b.n_edge
+                        and acc[2] + need[2] <= b.n_trip
+                        and (b.n_hi == 0
+                             or acc[3] + need[3] <= b.n_hi))
+                if cur and not fits:
+                    cls_chunks.append(np.array(cur))
+                    cur, acc = [], np.zeros(4, dtype=np.int64)
+                cur.append(idx[p])
+                acc += need
+            if cur:
+                cls_chunks.append(np.array(cur))
+            b = b._replace(n_graph=round_up(
+                max(len(c) for c in cls_chunks)))
+        chunks.extend(cls_chunks)
+        budgets.extend([b] * len(cls_chunks))
 
     stats = {
-        "real": tuple(int(x) for x in needs[:, :3].sum(axis=0)),
+        "real": tuple(int(x) for x in mol_needs[:, :3].sum(axis=0)),
         "padded": tuple(int(sum(b[d] for b in budgets))
                         for d in range(3)),
-        "shapes": len({(b.n_node, b.n_edge, b.n_trip, b.n_hi)
+        "shapes": len({(b.n_node, b.n_edge, b.n_trip, b.n_hi, b.n_graph)
                        for b in budgets}),
     }
     return chunks, budgets, stats

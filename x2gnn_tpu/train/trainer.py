@@ -120,6 +120,10 @@ class Trainer:
                              "the EP/hybrid paths (f32 preprocessing)")
         self._feat_dtype = feat_dtype
         self.bucket_shapes = int(getattr(train_cfg, "bucket_shapes", 0))
+        self.pack_budget = bool(getattr(train_cfg, "pack_budget", False))
+        if self.pack_budget and not self.bucket_shapes:
+            raise ValueError("pack_budget requires bucket_shapes >= 1 "
+                             "(packing fills the per-class budgets)")
         if self.bucket_shapes and mesh is not None:
             raise ValueError(
                 "bucket_shapes (size-bucketed budgets) is single-device "
@@ -128,6 +132,7 @@ class Trainer:
         # real/padded node-edge-triplet totals per split (occupancy
         # accounting for metrics.jsonl; filled lazily at batch assembly)
         self._totals = {}
+        self._plan_sizes = {}   # split key -> actual batch count (packing)
         if cache_batches is None:
             cache_batches = n <= 20000
         self._batch_cache = {} if cache_batches else None
@@ -278,14 +283,16 @@ class Trainer:
                 pad_graphs, size_bucketed_plan)
             chunks, chunk_budgets, stats = size_bucketed_plan(
                 self.graphs, idx, self.tcfg.batch_size,
-                self.bucket_shapes, self.budgets)
+                self.bucket_shapes, self.budgets,
+                pack=self.pack_budget)
             self._record_totals(key, idx, stats)
+            self._plan_sizes[key] = len(chunks)
 
             def gen():
                 for chunk, bud in zip(chunks, chunk_budgets):
                     yield self._cast_feat(pad_graphs(
                         [self.graphs[i] for i in chunk], bud,
-                        n_graph=self.tcfg.batch_size,
+                        n_graph=bud.n_graph or self.tcfg.batch_size,
                         targets=self.targets[np.asarray(chunk)],
                         with_triplets=self._with_triplets))
 
@@ -367,6 +374,17 @@ class Trainer:
         return dp_batch_iterator(batches, self.n_dev, self.mesh)
 
     def _steps_per_epoch(self) -> int:
+        if self.pack_budget:
+            # packed batches hold a variable molecule count: the true
+            # steps/epoch is the plan's batch count (resume accounting)
+            key = self._cache_key(self.train_idx)
+            if key not in self._plan_sizes:
+                from x2gnn_tpu.data.batching import size_bucketed_plan
+                chunks, _, _ = size_bucketed_plan(
+                    self.graphs, self.train_idx, self.tcfg.batch_size,
+                    self.bucket_shapes, self.budgets, pack=True)
+                self._plan_sizes[key] = len(chunks)
+            return max(self._plan_sizes[key], 1)
         n_batches = -(-len(self.train_idx) // self.tcfg.batch_size)
         if self.mesh is None or (self.edge_partition is not None
                                  and not self._hybrid):
