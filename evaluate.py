@@ -150,6 +150,17 @@ def main(argv=None):
             table = json.load(f)
         icept = float(table.pop("intercept", 0.0))
         refs = {int(z): float(c) for z, c in table.items()}
+        # an element absent from the archived table would silently
+        # contribute 0.0 reference energy — off by thousands of kcal
+        # per atom; refuse, mirroring the basis-provenance guard above
+        missing = sorted({int(z) for g in graphs for z in g.numbers}
+                         - set(refs))
+        if missing:
+            raise SystemExit(
+                f"elements Z={missing} appear in the eval set but are "
+                f"missing from {atomref_path} (not seen at training "
+                "time); atomref residuals would be wrong by ~1e3 "
+                "kcal/atom")
         targets = np.asarray(targets, np.float64) - np.array(
             [sum(refs.get(int(z), 0.0) for z in g.numbers) + icept
              for g in graphs])

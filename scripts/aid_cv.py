@@ -134,6 +134,11 @@ def main():
         # total energy = fitted atomref + GNN residual
         best = trainer.restore(os.path.join(fold_dir, "ckpt_best"))
         preds = []
+        # _batches yields molecules in test_idx order ONLY without
+        # shape bucketing/packing (those reorder by triplet count and
+        # would silently misalign preds with y[test_idx])
+        assert trainer.bucket_shapes == 0, \
+            "fold-out prediction loop requires unbucketed batches"
         for batch in trainer._batches(test_idx):
             p = np.asarray(trainer.model.apply(best.ema.params, batch))
             preds.append(p[np.asarray(batch.graph_mask).astype(bool)])

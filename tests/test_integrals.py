@@ -255,3 +255,87 @@ def test_cpp_screening_distant_clusters():
     # the majorant only skips primitive pairs below 1e-16
     n_half = int(ao1[2, 1])   # ao_slices: end of cluster-1's AOs
     assert np.abs(S2[:n_half, n_half:]).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Embedded 6-311+G(3df,2p) basis (round-3: real published data replaces
+# the x2sv stand-in as the default native basis — scf.py:31)
+# ---------------------------------------------------------------------------
+
+def test_pople_basis_ao_structure():
+    from x2gnn_tpu.data.integrals.basis import get_basis
+    b = get_basis("6-311+g(3df,2p)")
+    assert b.nao(1) == 9   # 3s + 2p
+    for z in (6, 7, 8, 9):
+        assert b.nao(z) == 39  # 5s + 4p + 3d + 1f
+        ls = [s.l for s in b.shells_for(z)]
+        # l-grouped (PySCF layout the SA compression slices assume)
+        assert ls == sorted(ls)
+        assert ls.count(0) == 5 and ls.count(1) == 4
+        assert ls.count(2) == 3 and ls.count(3) == 1
+        # the three d exponents follow the Frisch-1984 x4/x1/x0.25 split
+        d = sorted(float(s.exponents[0]) for s in b.shells_for(z)
+                   if s.l == 2)
+        np.testing.assert_allclose([d[1] / d[0], d[2] / d[1]], [4.0, 4.0])
+
+
+def test_pople_basis_hydrogen_atom_energy():
+    """One electron in the H s-block: the generalized eigenproblem
+    h c = E S c reproduces the literature 6-311G H-atom HF energy
+    -0.499810 Eh — a strong end-to-end check that the embedded
+    exponents/coefficients are the real published values."""
+    import scipy.linalg as sla
+    from x2gnn_tpu.data.integrals.basis import get_basis
+    S, h, _ = one_electron_matrices(
+        np.array([1]), np.zeros((1, 3)),
+        basis=get_basis("6-311+g(3df,2p)"))
+    e0 = sla.eigh(h, S, eigvals_only=True)[0]
+    np.testing.assert_allclose(e0, -0.499810, atol=2e-6)
+
+
+def test_pople_basis_hydrogenic_ion_energies():
+    """C^5+ / O^7+ one-electron ions: lowest eigenvalue of Z*(h/Z) vs the
+    exact -Z^2/2 — the 6-311 core contraction must get within ~0.1%."""
+    import scipy.linalg as sla
+    from x2gnn_tpu.data.integrals.basis import get_basis
+    b = get_basis("6-311+g(3df,2p)")
+    for z in (6, 8):
+        S, h, _ = one_electron_matrices(
+            np.array([z]), np.zeros((1, 3)), basis=b)
+        e0 = sla.eigh(h * z, S, eigvals_only=True)[0]  # engine /= nelec
+        assert abs(e0 - (-z * z / 2)) / (z * z / 2) < 2e-3
+
+
+@pytest.mark.skipif(not native_available(), reason="C++ engine not built")
+def test_pople_basis_cpp_matches_numpy_and_screening():
+    """The contracted Pople basis exercises 6-primitive contractions the
+    x2sv stand-in never does: C++ (screened) must match numpy
+    (unscreened) on a real multi-element geometry."""
+    from x2gnn_tpu.data.integrals.basis import get_basis
+    b = get_basis("6-311+g(3df,2p)")
+    numbers = np.array([8, 1, 1, 7, 9])
+    pos = np.array([[0.0, 0, 0], [0.95, 0, 0], [-0.3, 0.9, 0],
+                    [0.4, -1.2, 0.8], [3.4, 1.2, -0.8]])
+    S1, h1, ao1 = one_electron_matrices_numpy(numbers, pos, b)
+    S2, h2, ao2 = one_electron_matrices_cpp(numbers, pos, basis=b)
+    np.testing.assert_allclose(S2, S1, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(h2, h1, rtol=1e-7, atol=1e-10)
+    np.testing.assert_array_equal(ao1, ao2)
+
+
+def test_native6311_backend_features_and_provenance():
+    from x2gnn_tpu.data.molecule import Molecule
+    from x2gnn_tpu.data.graphs import radius_graph
+    from x2gnn_tpu.data.featurize import (edge_features, basis_provenance,
+                                          resolve_backend)
+    mol = Molecule([8, 1, 1],
+                   [[0.0, 0, 0], [0.95, 0, 0], [-0.3, 0.9, 0]], [0.0])
+    edge_index, _ = radius_graph(mol.positions, 5.0)
+    f_pople = edge_features(mol, edge_index, backend="native6311")
+    f_x2sv = edge_features(mol, edge_index, backend="native")
+    assert f_pople.shape == (edge_index.shape[1], 338)
+    assert np.isfinite(f_pople).all()
+    # different bases -> genuinely different features
+    assert np.abs(f_pople - f_x2sv).max() > 1e-3
+    assert basis_provenance("native6311") == "6-311+g(3df,2p)-native"
+    assert resolve_backend("auto") in ("pyscf", "native6311")

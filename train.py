@@ -233,15 +233,12 @@ def main(argv=None):
     if args.atomref_fit:
         import numpy as np
         from x2gnn_tpu.data.molecule import fit_linear_atomref
-        from x2gnn_tpu.train.trainer import make_split
+        from x2gnn_tpu.train.trainer import make_split, resolve_division
         # the SAME deterministic split the Trainer will build: the fit
         # must see train molecules only (no val/test leakage)
         n = len(graphs)
-        d0, d1 = tcfg.division
-        if n <= d1:
-            d0 = max(1, n // 10)
-            d1 = min(n - 1, 2 * d0)
-        fit_idx, _, _ = make_split(n, tcfg.random_seed, (d0, d1))
+        fit_idx, _, _ = make_split(n, tcfg.random_seed,
+                                   resolve_division(n, tcfg.division))
         atomref_pred, table = fit_linear_atomref(
             [g.numbers for g in graphs], targets, fit_idx)
         targets = np.asarray(targets, np.float64) - atomref_pred

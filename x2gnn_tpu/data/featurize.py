@@ -156,12 +156,16 @@ def pyscf_available() -> bool:
 
 
 # Featurization-basis provenance (scf.py:31): the pyscf backend computes
-# exact 6-311+G(3df,2p) integrals; the native engine uses the project-
-# defined 'x2sv' basis (same AO structure, different exponents) — their
-# features are NOT numerically interchangeable. Caches and training runs
-# are tagged with this string so evaluate.py / Predictor can refuse to
-# mix them silently.
-BACKEND_BASIS = {"pyscf": "6-311+g(3df,2p)", "native": "x2sv",
+# exact 6-311+G(3df,2p) integrals; the native engine runs either the
+# embedded published 6-311+G(3df,2p) data ('native6311', tag suffixed
+# -native since engine precision differs from libcint) or the project-
+# defined 'x2sv' stand-in (same AO structure, different exponents).
+# Different tags are NOT numerically interchangeable. Caches and training
+# runs are tagged with this string so evaluate.py / Predictor can refuse
+# to mix them silently.
+BACKEND_BASIS = {"pyscf": "6-311+g(3df,2p)",
+                 "native6311": "6-311+g(3df,2p)-native",
+                 "native": "x2sv",
                  "zero": "zero"}
 
 
@@ -196,10 +200,13 @@ def check_basis_compatible(run_basis, data_basis, allow: bool = False,
 def resolve_backend(backend: str) -> str:
     """'auto' -> the backend that will actually run on THIS machine.
     Callers that persist features (data/dataset.py cache tags) must tag
-    with the resolved name — the two quantum backends use different bases
-    (6-311+G(3df,2p) vs x2sv) and their features are not interchangeable."""
+    with the resolved name — the quantum backends use different bases
+    and their features are not interchangeable. 'auto' prefers the real
+    6-311+G(3df,2p) basis (pyscf when installed, else the native engine
+    with the embedded Pople data); the 'x2sv' stand-in remains available
+    as backend='native' for pre-round-3 caches/checkpoints."""
     if backend == "auto":
-        return "pyscf" if pyscf_available() else "native"
+        return "pyscf" if pyscf_available() else "native6311"
     return backend
 
 
@@ -229,10 +236,12 @@ def _pyscf_matrices(mol: Molecule, basis: str = "6-311+g(3df,2p)"
     return ovlp, hcore / m.nelectron, ao_slices
 
 
-def _native_matrices(mol: Molecule
+def _native_matrices(mol: Molecule, basis_name: str = None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     from x2gnn_tpu.data.integrals import one_electron_matrices
-    return one_electron_matrices(mol.numbers, mol.positions)
+    from x2gnn_tpu.data.integrals.basis import get_basis
+    basis = get_basis(basis_name) if basis_name else None
+    return one_electron_matrices(mol.numbers, mol.positions, basis=basis)
 
 
 def edge_features(
@@ -243,8 +252,9 @@ def edge_features(
 ) -> np.ndarray:
     """(E, 338) integral features for one molecule.
 
-    backend: 'pyscf' | 'native' | 'zero' | 'auto' (pyscf if installed,
-    else native).
+    backend: 'pyscf' | 'native6311' (native engine, embedded published
+    6-311+G(3df,2p) data) | 'native' (x2sv stand-in) | 'zero' | 'auto'
+    (pyscf if installed, else native6311).
     """
     backend = resolve_backend(backend)
     if backend == "zero":
@@ -252,6 +262,8 @@ def edge_features(
                         dtype=np.float32)
     if backend == "pyscf":
         s, h, ao = _pyscf_matrices(mol)
+    elif backend == "native6311":
+        s, h, ao = _native_matrices(mol, basis_name="6-311+g(3df,2p)")
     elif backend == "native":
         s, h, ao = _native_matrices(mol)
     else:

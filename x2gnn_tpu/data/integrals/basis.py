@@ -107,6 +107,37 @@ def fallback_basis() -> BasisSet:
     return BasisSet(shells)
 
 
+_G94_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "g94")
+_named_cache: Dict[str, "BasisSet"] = {}
+
+
+def pople_6311g_3df_2p() -> BasisSet:
+    """The exact 6-311+G(3df,2p) basis the reference requests from PySCF
+    (scf.py:31), embedded as published tabulated data
+    (g94/6-311+g_3df_2p.g94; Krishnan 1980 + Clark 1983 diffuse +
+    Frisch 1984 polarization). H/C/N/O/F only — the reference's element
+    map (utils.py:19)."""
+    import os
+    key = "6-311+g(3df,2p)"
+    if key not in _named_cache:
+        with open(os.path.join(_G94_DIR, "6-311+g_3df_2p.g94")) as f:
+            _named_cache[key] = parse_gaussian94(f.read())
+    return _named_cache[key]
+
+
+def get_basis(name: str) -> BasisSet:
+    """Named-basis registry: 'x2sv' (project even-tempered stand-in) or
+    '6-311+g(3df,2p)' (embedded Pople data)."""
+    if name == "x2sv":
+        return fallback_basis()
+    if name in ("6-311+g(3df,2p)", "6311"):
+        return pople_6311g_3df_2p()
+    raise ValueError(f"unknown basis {name!r} "
+                     "(known: 'x2sv', '6-311+g(3df,2p)')")
+
+
 def parse_gaussian94(text: str) -> BasisSet:
     """Parse a Gaussian94-format basis block (the format distributed by the
     Basis Set Exchange) into a BasisSet. Supports S/P/D/F and combined SP

@@ -237,6 +237,12 @@ extern "C" int x2_one_electron(
   std::memset(T, 0, sizeof(double) * nao * nao);
   std::memset(V, 0, sizeof(double) * nao * nao);
 
+  // actual max nuclear charge for the screening majorant (a literal
+  // Z_max=9 would silently under-screen for elements heavier than F)
+  double Zmax = 0.0;
+  for (int ic = 0; ic < natoms; ++ic)
+    Zmax = std::max(Zmax, std::abs((double)Z[ic]));
+
   // flatten (i >= j) shell-pair list for parallelism
   std::vector<std::pair<int, int>> pairs;
   pairs.reserve((size_t)nshells * (nshells + 1) / 2);
@@ -274,16 +280,19 @@ extern "C" int x2_one_electron(
         // E coefficients additionally grow at most polynomially
         // (|XPA|,|XPB| <= |AB|, degree <= la+lb+4 incl. the kinetic j+2
         // shift and its b^2 prefactor), so the skip bound folds in a
-        // (1+AB^2)^((la+lb+4)/2) * (1+2b(b+1)) majorant and a
-        // natoms*Z_max nuclear-attraction scale. Kills tight-core
-        // primitive pairs beyond ~1 bohr and anything truly remote;
-        // verified to change S/T/V by < 1e-12 elementwise
-        // (tests/test_integrals.py screening test).
+        // (1+AB^2)^((la+lb+4)/2) majorant, a kinetic-coefficient bound
+        // 1 + 2b^2 + b(2*lb+1) + lb(lb-1)/2 (sum of the |t1| term
+        // coefficients at j <= lb — strictly covers d/f shells), and a
+        // natoms*Z_max nuclear-attraction scale with Z_max taken from
+        // the actual Z array. Kills tight-core primitive pairs beyond
+        // ~1 bohr and anything truly remote; verified to change S/T/V
+        // by < 1e-12 elementwise (tests/test_integrals.py).
         const double Kab = std::exp(-a * b / p * AB2);
         const double poly = std::pow(1.0 + AB2, 0.5 * (la + lb + 4));
-        const double majorant = std::abs(w) * Kab * poly *
-                                (1.0 + 2.0 * b * (b + 1.0)) *
-                                (pref + 2.0 * M_PI / p * natoms * 9.0);
+        const double kin = 1.0 + 2.0 * b * b + b * (2.0 * lb + 1.0) +
+                           0.5 * lb * (lb - 1.0);
+        const double majorant = std::abs(w) * Kab * poly * kin *
+                                (pref + 2.0 * M_PI / p * natoms * Zmax);
         if (majorant < 1e-16) continue;
         hermite_E(la, lb + 2, a, b, A[0] - B[0], Ex);
         hermite_E(la, lb + 2, a, b, A[1] - B[1], Ey);

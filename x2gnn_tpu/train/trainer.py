@@ -36,6 +36,18 @@ class TrainState(NamedTuple):
     bad_steps: jnp.ndarray = None  # count of skipped non-finite updates
 
 
+def resolve_division(n: int, division) -> tuple:
+    """Scale the reference 10k/10k division down for small datasets.
+    Single source of truth shared with train.py's --atomref-fit split
+    resolution — the atomref fit must see exactly the Trainer's train
+    molecules, so the fallback lives in one place."""
+    d0, d1 = division
+    if n <= d1:
+        d0 = max(1, n // 10)
+        d1 = min(n - 1, 2 * d0)
+    return d0, d1
+
+
 def make_split(n: int, seed: int, division) -> tuple:
     """Fixed-permutation split: test=[:d0], val=[d0:d1], train=[d1:]
     (trainer.py:22-27; legacy numpy RandomState reproduces the reference's
@@ -96,10 +108,7 @@ class Trainer:
         self.optimizer = make_optimizer(train_cfg)
 
         n = len(self.graphs)
-        d0, d1 = train_cfg.division
-        if n <= d1:  # small datasets: scale the reference 10k/10k split down
-            d0 = max(1, n // 10)
-            d1 = min(n - 1, 2 * d0)
+        d0, d1 = resolve_division(n, train_cfg.division)
         self.train_idx, self.val_idx, self.test_idx = make_split(
             n, train_cfg.random_seed, (d0, d1))
         self.budgets = budgets or pad_budget_for(
