@@ -6,15 +6,19 @@
 # Usage: bash scripts/run_flagship.sh [data.npz] [workdir] [epochs]
 set -u
 cd "$(dirname "$0")/.."
-DATA=${1:-processed/synthq100k.npz}
-WD=${2:-runs/flagship}
-EPOCHS=${3:-150}
+DATA=${1:-processed/synthq50k.npz}
+WD=${2:-runs/flagship_r3}
+EPOCHS=${3:-200}
+# round-3 definitive recipe: plateau LR schedule (the round-2 run
+# destabilized at sustained max-lr after epoch 48) + pack-to-budget with
+# 8 per-class shapes (0.97 node / 0.80 triplet occupancy on synthq50k)
+EXTRA=${EXTRA:---scheduler plateau --bucket-shapes 8 --pack-budget}
 RSS_LIMIT_KB=${RSS_LIMIT_KB:-62000000}   # 62 GB: restart before host OOM
 
 for attempt in $(seq 1 200); do
   python train.py --data-npz "$DATA" --workdir "$WD" \
     --config configs/flagship_synthq.json --epochs "$EPOCHS" \
-    --layout blocked --standardize --bucket-shapes 4 \
+    --layout blocked --standardize $EXTRA \
     --cache-batches on --feat-dtype float16 \
     --ckpt-every 1 --auto-resume --ckpt-after-epoch 0 \
     >> "$WD.log" 2>&1 &

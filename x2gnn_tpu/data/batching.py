@@ -374,55 +374,87 @@ def size_bucketed_plan(
     Every shape compiles once; composition is fixed across epochs (the
     trainer never reshuffles, trainer.py:22-27), so budgets are exact.
 
-    The degree budget and two-tier split point (d_lo) stay global (from
-    `base`); the per-class n_hi is the class's real worst case (disabled
-    for a class where it would cover every row).
+    Degree budgets are PER CLASS (round-3): each class gets its own
+    in/out table width n_deg (class max degree) and a two-tier split
+    point d_lo chosen to MINIMIZE the class's pair capacity
+    n_hi*D^2 + (n_node-n_hi)*d_lo^2 — the D^2 pair dimension is the
+    compute the blocked Pallas kernel actually pays, and a single global
+    (D, d_lo) leaves it at ~0.2-0.3 occupancy on heterogeneous sets.
+    A class where no split helps runs the plain kernel (n_hi=0).
 
     Returns (chunks, budgets, stats): chunks = list of index arrays in
     training order, budgets = matching Budgets per chunk, stats = dict
-    with real/padded node/edge/triplet totals (occupancy accounting).
+    with real/padded node/edge/triplet AND pair totals (occupancy
+    accounting; 'pairs' is the kernel-work dimension).
     """
     idx = np.asarray(idx)
     t_sizes = np.array([graphs[i].num_triplets for i in idx])
     idx = idx[np.argsort(-t_sizes, kind="stable")]
 
-    want_split = base.n_deg_lo > 0 and base.n_hi > 0
-    mol_needs = np.zeros((len(idx), 4), dtype=np.int64)
+    def round_up(v):
+        return ((max(int(v), 1) + multiple - 1) // multiple) * multiple
+
+    # per-molecule: sizes + degree distribution (for per-class degree
+    # budgets). deg_gt[m, c] = #atoms with degree > 8*(c+1); deg_sq[m] =
+    # sum deg^2 (real pair work); deg_max[m] = max degree.
+    n_mols = len(idx)
+    max_deg_all = max((_max_degree(graphs[i]) for i in idx), default=1)
+    n_cand = max(max_deg_all // 8 + 1, 1)
+    mol_needs = np.zeros((n_mols, 3), dtype=np.int64)
+    deg_gt = np.zeros((n_mols, n_cand), dtype=np.int64)
+    deg_sq = np.zeros(n_mols, dtype=np.int64)
+    deg_max = np.zeros(n_mols, dtype=np.int64)
     for m, i in enumerate(idx):
         g = graphs[i]
-        hi = 0
-        if want_split and g.num_edges:
+        mol_needs[m] = (g.num_atoms, g.num_edges, g.num_triplets)
+        if g.num_edges:
             deg = np.maximum(
                 np.bincount(g.edge_index[0], minlength=g.num_atoms),
                 np.bincount(g.edge_index[1], minlength=g.num_atoms))
-            hi = int((deg > base.n_deg_lo).sum())
-        mol_needs[m] = (g.num_atoms, g.num_edges, g.num_triplets, hi)
+            deg_sq[m] = int((deg.astype(np.int64) ** 2).sum())
+            deg_max[m] = int(deg.max())
+            for c in range(n_cand):
+                deg_gt[m, c] = int((deg > 8 * (c + 1)).sum())
 
-    pos_chunks = [np.arange(lo, min(lo + batch_size, len(idx)))
-                  for lo in range(0, len(idx), batch_size)]
+    pos_chunks = [np.arange(lo, min(lo + batch_size, n_mols))
+                  for lo in range(0, n_mols, batch_size)]
     needs = np.array([mol_needs[c].sum(axis=0) for c in pos_chunks],
                      dtype=np.int64)
-
-    def round_up(v):
-        return ((max(int(v), 1) + multiple - 1) // multiple) * multiple
 
     n_chunks = len(pos_chunks)
     per_class = max(1, -(-n_chunks // max(num_shapes, 1)))
     chunks, budgets = [], []
+    pair_capacity = 0
     for lo in range(0, n_chunks, per_class):
         cls = needs[lo:lo + per_class]
+        cls_pos = pos_chunks[lo:lo + per_class]
+        members = np.concatenate(cls_pos)
         n_node = round_up(cls[:, 0].max())
         n_edge = round_up(cls[:, 1].max())
         n_trip = round_up(cls[:, 2].max())
-        n_hi = round_up(cls[:, 3].max()) if want_split else 0
-        d_lo = base.n_deg_lo
-        if not want_split or n_hi >= n_node:
-            n_hi = d_lo = 0   # split would cover every row: plain kernel
-        b = Budgets(n_node, n_edge, n_trip, base.n_deg, d_lo, n_hi)
+        # class degree budget + optimal split point: brute-force every
+        # multiple-of-8 threshold, minimizing per-batch pair capacity
+        n_deg = round_up(max(int(deg_max[members].max()), 1))
+        best = (n_node * n_deg * n_deg, 0, 0)  # (capacity, d_lo, n_hi)
+        for c in range(n_cand):
+            d_lo_c = 8 * (c + 1)
+            if d_lo_c >= n_deg:
+                break
+            hi_per_chunk = [int(deg_gt[p, c].sum()) for p in cls_pos]
+            n_hi_c = round_up(max(hi_per_chunk))
+            if n_hi_c >= n_node:
+                continue
+            cap = (n_hi_c * n_deg * n_deg
+                   + (n_node - n_hi_c) * d_lo_c * d_lo_c)
+            if cap < best[0]:
+                best = (cap, d_lo_c, n_hi_c)
+        _, d_lo, n_hi = best
+        hi_col = d_lo // 8 - 1   # deg_gt column for the chosen threshold
+        b = Budgets(n_node, n_edge, n_trip, n_deg, d_lo, n_hi)
         a = lo * batch_size
-        z = min((lo + per_class) * batch_size, len(idx))
+        z = min((lo + per_class) * batch_size, n_mols)
         if not pack:
-            cls_chunks = [idx[p] for p in pos_chunks[lo:lo + per_class]]
+            cls_chunks = [idx[p] for p in cls_pos]
         else:
             # pack-to-budget: greedily fill each batch with consecutive
             # (size-sorted) molecules while it fits the CLASS budget —
@@ -435,29 +467,35 @@ def size_bucketed_plan(
             cls_chunks = []
             cur, acc = [], np.zeros(4, dtype=np.int64)
             for p in range(a, z):
-                need = mol_needs[p]
+                hi_need = int(deg_gt[p, hi_col]) if n_hi else 0
+                need = (*mol_needs[p], hi_need)
                 fits = (acc[0] + need[0] <= b.n_node
                         and acc[1] + need[1] <= b.n_edge
                         and acc[2] + need[2] <= b.n_trip
-                        and (b.n_hi == 0
-                             or acc[3] + need[3] <= b.n_hi))
+                        and (b.n_hi == 0 or acc[3] + need[3] <= b.n_hi))
                 if cur and not fits:
                     cls_chunks.append(np.array(cur))
                     cur, acc = [], np.zeros(4, dtype=np.int64)
                 cur.append(idx[p])
-                acc += need
+                acc += np.asarray(need, dtype=np.int64)
             if cur:
                 cls_chunks.append(np.array(cur))
             b = b._replace(n_graph=round_up(
                 max(len(c) for c in cls_chunks)))
         chunks.extend(cls_chunks)
         budgets.extend([b] * len(cls_chunks))
+        per_batch_cap = (n_hi * n_deg * n_deg
+                         + (n_node - n_hi) * d_lo * d_lo
+                         if n_hi else n_node * n_deg * n_deg)
+        pair_capacity += per_batch_cap * len(cls_chunks)
 
     stats = {
-        "real": tuple(int(x) for x in mol_needs[:, :3].sum(axis=0)),
+        "real": tuple(int(x) for x in mol_needs.sum(axis=0)),
         "padded": tuple(int(sum(b[d] for b in budgets))
                         for d in range(3)),
-        "shapes": len({(b.n_node, b.n_edge, b.n_trip, b.n_hi, b.n_graph)
+        "pairs": (int(deg_sq.sum()), int(pair_capacity)),
+        "shapes": len({(b.n_node, b.n_edge, b.n_trip, b.n_deg,
+                        b.n_deg_lo, b.n_hi, b.n_graph)
                        for b in budgets}),
     }
     return chunks, budgets, stats

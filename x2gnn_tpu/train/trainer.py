@@ -566,6 +566,11 @@ class Trainer:
                     "occupancy_triplets": real_t / max(pad_t, 1),
                     "budget_shapes": tot["shapes"],
                 })
+                if "pairs" in tot:
+                    # D^2 pair slots: the dimension the blocked Pallas
+                    # kernel's compute actually scales with
+                    real_p, cap_p = tot["pairs"]
+                    record["occupancy_pairs"] = real_p / max(cap_p, 1)
             if plateau_logged is not None:
                 record["lr_scale"] = plateau_logged
             if log_every_epoch:
