@@ -324,6 +324,16 @@ def main():
         except Exception as exc:
             log(f"cost_analysis unavailable: {exc}")
 
+    # ---- workload-scaling sweep (round-3, VERDICT #3): where does the
+    # kernel leave the overhead regime and what fraction of HBM peak does
+    # it reach? Batch 32 -> 512 (tripet budgets ~220k -> ~3.4M); per
+    # point: fwd time, achieved GB/s, % of HBM peak, fwd+bwd triplet
+    # throughput. Saturation batch = the point where throughput stops
+    # improving by > 10%.
+    sweep = []
+    if dev.platform == "tpu":
+        sweep = _workload_sweep(log, time_fn)
+
     best = min(t_seg, t_pad, t_blk, t_pal, t_pal2)
     result = {
         "metric": "edge_attention_throughput",
@@ -338,7 +348,125 @@ def main():
             result["step_mfu"] = round(step_mfu, 4)
         except NameError:
             pass
+    if sweep:
+        peak = max(sweep, key=lambda p: p["mtrip_s"])
+        sat = next((p for p in sweep
+                    if p["mtrip_s"] >= 0.9 * peak["mtrip_s"]), peak)
+        result["gbps"] = peak["gbps"]
+        result["hbm_frac"] = peak["hbm_frac"]
+        result["saturation_batch"] = sat["batch"]
+        result["sweep"] = sweep
     print(json.dumps(result))
+
+
+def _workload_sweep(log, time_fn):
+    """Kernel throughput/bandwidth vs workload size (fused Pallas path,
+    degree-split, training-shaped fwd+bwd plus a fwd-only roofline
+    point). Returns a list of per-batch-size dicts."""
+    import jax
+    import jax.numpy as jnp
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.ops.attention import injective_gather
+    from x2gnn_tpu.ops.pallas import (
+        expand_block_diagonal, pallas_blocked_attention)
+
+    HBM_BW = 819e9
+    H, C = 16, 8
+    HC = H * C
+    L, K_rad = 7, 6
+    out = []
+    for bs in (32, 64, 128, 256, 512):
+        graphs = synthetic_dataset(bs, mean_atoms=18, seed=7)
+        batch = pad_graphs(graphs, pad_budget_for(graphs, bs))
+        N, D = batch.in_edges.shape
+        real_T = int(batch.trip_mask.sum())
+        rng = np.random.default_rng(1)
+        f32 = jnp.float32
+        in_src = batch.edge_src[batch.in_edges]
+        out_dst = batch.edge_dst[batch.out_edges]
+        in_src_j = jnp.asarray(
+            np.where(batch.in_mask, in_src, -1).astype(np.int32))
+        out_dst_j = jnp.asarray(
+            np.where(batch.out_mask, out_dst, -2).astype(np.int32))
+        z = jnp.asarray(rng.uniform(-1, 1, size=(N, D, D)), f32)
+        W_sbf = jnp.asarray(
+            rng.normal(size=(L * K_rad, HC)), f32) * 0.3
+        s_bias = jnp.asarray(rng.normal(size=(1, HC)), f32)
+        e_atom = jnp.asarray(rng.normal(size=(N, HC)), f32)
+        out2in = jnp.asarray(batch.edge_inpos[batch.out_edges])
+        safe_inpos = np.where(batch.edge_mask, batch.edge_inpos, N * D)
+        in2out_np = np.zeros(N * D, np.int32)
+        in2out_np[safe_inpos[batch.edge_mask]] = batch.edge_outpos[
+            batch.edge_mask]
+        in2out_flat = jnp.asarray(in2out_np)
+        in_mask_flat = jnp.asarray(batch.in_mask.reshape(-1))
+        q_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
+        k_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
+        v_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
+        rbf_in = jnp.asarray(rng.normal(size=(N * D, L * K_rad)), f32)
+        rbf_out = injective_gather(rbf_in, out2in, in2out_flat,
+                                   in_mask_flat)
+        n_hi, d_lo = batch.n_hi, batch.d_lo
+
+        def pal_loss(q_in, k_in, v_in):
+            w_bd = expand_block_diagonal(W_sbf, L, K_rad, HC)
+            k_out = injective_gather(k_in.reshape(N * D, HC), out2in,
+                                     in2out_flat, in_mask_flat)
+            v_out = injective_gather(v_in.reshape(N * D, HC), out2in,
+                                     in2out_flat, in_mask_flat)
+            if n_hi and d_lo:
+                o_hi = pallas_blocked_attention(
+                    q_in[:n_hi], k_out[:n_hi], v_out[:n_hi],
+                    e_atom[:n_hi], rbf_out[:n_hi], w_bd, s_bias,
+                    z[:n_hi], in_src_j[:n_hi], out_dst_j[:n_hi],
+                    heads=H, num_radial=K_rad)
+                o_lo = pallas_blocked_attention(
+                    q_in[n_hi:, :d_lo], k_out[n_hi:, :d_lo],
+                    v_out[n_hi:, :d_lo], e_atom[n_hi:],
+                    rbf_out[n_hi:, :d_lo], w_bd, s_bias,
+                    z[n_hi:, :d_lo, :d_lo],
+                    in_src_j[n_hi:, :d_lo], out_dst_j[n_hi:, :d_lo],
+                    heads=H, num_radial=K_rad)
+                o = jnp.zeros((N, D, HC), o_hi.dtype)
+                o = o.at[:n_hi].set(o_hi).at[n_hi:, :d_lo].set(o_lo)
+            else:
+                o = pallas_blocked_attention(
+                    q_in, k_out, v_out, e_atom, rbf_out, w_bd, s_bias,
+                    z, in_src_j, out_dst_j, heads=H, num_radial=K_rad)
+            return (o ** 2).sum()
+
+        fwd_fn = jax.jit(pal_loss)
+        grad_fn = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2)))
+        t_fwd = time_fn(fwd_fn, q_in, k_in, v_in,
+                        iters=10 if bs >= 256 else 20)
+        t_fb = time_fn(grad_fn, q_in, k_in, v_in,
+                       iters=10 if bs >= 256 else 20)
+        # HBM bytes, fwd: q/k/v + rbf_env reads, z, e_atom, out write
+        if n_hi and d_lo:
+            pad_pairs = n_hi * D * D + (N - n_hi) * d_lo * d_lo
+        else:
+            pad_pairs = N * D * D
+        b_fwd = (3 * N * D * HC + N * D * L * K_rad + pad_pairs
+                 + N * HC + N * D * HC) * 4.0
+        f_fwd = 2.0 * pad_pairs * HC * (2 + L)
+        gbps = b_fwd / t_fwd / 1e9
+        point = {
+            "batch": bs, "N": N, "D": D, "real_T": real_T,
+            "t_fwd_ms": round(t_fwd * 1e3, 3),
+            "t_fwdbwd_ms": round(t_fb * 1e3, 3),
+            "mtrip_s": round(real_T / t_fb / 1e6, 1),
+            "gbps": round(gbps, 1),
+            "hbm_frac": round(b_fwd / t_fwd / HBM_BW, 4),
+            "tflops": round(f_fwd / t_fwd / 1e12, 2),
+        }
+        out.append(point)
+        log(f"sweep bs={bs}: N={N} D={D} realT={real_T / 1e3:.0f}k "
+            f"fwd {t_fwd * 1e3:.2f} ms ({gbps:.0f} GB/s = "
+            f"{100 * point['hbm_frac']:.1f}% HBM, "
+            f"{point['tflops']:.2f} TFLOP/s), fwd+bwd "
+            f"{t_fb * 1e3:.2f} ms -> {point['mtrip_s']:.1f} M trip/s")
+    return out
 
 
 if __name__ == "__main__":

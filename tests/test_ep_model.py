@@ -187,3 +187,58 @@ def test_ep_remat_gradients_match():
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-5)
+
+
+def test_ep_dropout_train_step(tmp_path):
+    """Round-3: dropout under edge partitioning. The step threads a
+    per-step, per-shard pair-mask rng; dropout forwards are deterministic
+    in the key, differ across keys, and deterministic eval (no key)
+    matches the unsharded model exactly."""
+    from x2gnn_tpu.config import TrainConfig
+    from x2gnn_tpu.train.ema import ema_init
+    from x2gnn_tpu.train.optim import make_optimizer
+    from x2gnn_tpu.train.trainer import TrainState
+
+    cfg, model, params, batch, epb, epbs, mesh = _setup(dropout=0.4)
+    n_pad = epb.numbers.shape[0]
+    fwd_d = make_ep_forward(cfg, mesh, n_pad, with_dropout=True)
+    k1, k2 = jax.random.PRNGKey(5), jax.random.PRNGKey(6)
+    p1 = np.asarray(fwd_d(params, epbs, k1))
+    p1b = np.asarray(fwd_d(params, epbs, k1))
+    p2 = np.asarray(fwd_d(params, epbs, k2))
+    np.testing.assert_array_equal(p1, p1b)   # key-deterministic
+    assert np.abs(p1 - p2).max() > 1e-7      # key actually used
+    # deterministic forward (no dropout) still matches the flax model
+    fwd = make_ep_forward(cfg, mesh, n_pad)
+    ref = np.asarray(model.apply(params, batch))
+    np.testing.assert_allclose(np.asarray(fwd(params, epbs)), ref,
+                               rtol=2e-5, atol=2e-6)
+    # the train step runs with dropout active and stays finite
+    tcfg = TrainConfig(batch_size=6, warmup_steps=2)
+    opt = make_optimizer(tcfg)
+    state = TrainState(params, opt.init(params), ema_init(params),
+                       jnp.zeros((), jnp.int32))
+    step = make_ep_train_step(cfg, opt, tcfg.ema_decay, mesh, n_pad,
+                              rng_seed=3)
+    for _ in range(3):
+        state, loss = step(state, epbs)
+        assert np.isfinite(float(loss))
+    assert int(state.step) == 3
+
+
+def test_trainer_accepts_dropout_with_edge_partition(tmp_path):
+    """The round-2 trainer hard-block on dropout + EP is gone."""
+    from x2gnn_tpu.config import TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.train.trainer import Trainer
+    from x2gnn_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(CFG, dropout=0.3)
+    graphs = synthetic_dataset(8, mean_atoms=8, seed=4, edge_feat_dim=8)
+    y = np.array([g.y[0] for g in graphs], np.float32)
+    tcfg = TrainConfig(batch_size=4, warmup_steps=2, ckpt_after_epoch=0)
+    tr = Trainer(X2GNN(cfg), cfg, tcfg, graphs, y,
+                 workdir=str(tmp_path), mesh=make_mesh(8),
+                 edge_partition="allgather")
+    state, summary = tr.fit(epochs=1)
+    assert np.isfinite(summary["best_val_mae"])

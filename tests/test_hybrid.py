@@ -157,3 +157,35 @@ def test_hybrid_sharded_batch_cache_hits(tmp_path):
     assert len(first) == len(second) > 0
     for a, b in zip(first, second):
         assert a.feat_blk is b.feat_blk       # same device buffer
+
+
+def test_hybrid_dropout_train_step():
+    """Round-3: dropout on the hybrid DP x EP path — per-chip pair masks
+    (key folded with both mesh positions), key-deterministic."""
+    import dataclasses
+    from x2gnn_tpu.config import TrainConfig
+    from x2gnn_tpu.train.ema import ema_init
+    from x2gnn_tpu.train.optim import make_optimizer
+    from x2gnn_tpu.train.trainer import TrainState
+    from x2gnn_tpu.parallel.hybrid import make_hybrid_forward
+
+    cfg, model, params, batches, stacked, sharded, mesh, N = _setup(
+        dropout=0.35)
+    n_pad = N
+    fwd_d = make_hybrid_forward(cfg, mesh, n_pad, with_dropout=True)
+    k1, k2 = jax.random.PRNGKey(5), jax.random.PRNGKey(6)
+    p1 = np.asarray(fwd_d(params, sharded, k1))
+    p1b = np.asarray(fwd_d(params, sharded, k1))
+    p2 = np.asarray(fwd_d(params, sharded, k2))
+    np.testing.assert_array_equal(p1, p1b)
+    assert np.abs(p1 - p2).max() > 1e-7
+    tcfg = TrainConfig(batch_size=4, warmup_steps=2)
+    opt = make_optimizer(tcfg)
+    state = TrainState(params, opt.init(params), ema_init(params),
+                       jnp.zeros((), jnp.int32))
+    step = make_hybrid_train_step(cfg, opt, tcfg.ema_decay, mesh, n_pad,
+                                  rng_seed=3)
+    for _ in range(3):
+        state, loss = step(state, sharded)
+        assert np.isfinite(float(loss))
+    assert int(state.step) == 3

@@ -258,3 +258,150 @@ def test_pallas_kernel_under_jit_remat(make_molecule, rng, chunked):
         np.testing.assert_allclose(
             np.asarray(c), np.asarray(a), rtol=1e-5, atol=1e-6,
             err_msg=f"remat grad mismatch for {name}")
+
+
+# ---------------------------------------------------------------------------
+# Round-3: dropout mask + attention weights INSIDE the fused kernel
+# (VERDICT #5 — dropout>0 / return_attention_weights keep the Pallas path)
+# ---------------------------------------------------------------------------
+
+def _xla_core_out(b, tensors, geom, drop=None, return_alpha=False):
+    """blocked_attention_core on (N, D, ...) tables — the XLA path the
+    conv uses when use_pallas=False; supports the pair dropout mask."""
+    from x2gnn_tpu.ops.attention import blocked_attention_core
+    q, k, v, e_atom, W, bias = tensors
+    _, cbf, pair_mask, _, _, rbf = geom
+    in_e = jnp.asarray(b.in_edges)
+    out_e = jnp.asarray(b.out_edges)
+    N, D = b.in_edges.shape
+    G = jnp.einsum("elk,lkf->elf", rbf, W.reshape(L, K, HC))
+    return blocked_attention_core(
+        q.reshape(-1, HC)[in_e].reshape(N, D, H, C),
+        k.reshape(-1, HC)[out_e].reshape(N, D, H, C),
+        v.reshape(-1, HC)[out_e].reshape(N, D, H, C),
+        e_atom.reshape(-1, H, C),
+        G.reshape(-1, L * HC)[out_e].reshape(N, D, L, H, C),
+        bias, jnp.asarray(cbf), jnp.asarray(pair_mask),
+        dropout_mask=drop, return_alpha=return_alpha)
+
+
+def _pallas_blk_out(b, tensors, geom, i_chunk=None, drop=None,
+                    return_alpha=False):
+    """pallas_blocked_attention returning the raw (N, D, HC) block (plus
+    alpha when requested)."""
+    q, k, v, e_atom, W, bias = tensors
+    z, _, _, a_ids, b_ids, rbf = geom
+    in_e = jnp.asarray(b.in_edges)
+    out_e = jnp.asarray(b.out_edges)
+    w_bd = expand_block_diagonal(W, L, K, HC)
+    return pallas_blocked_attention(
+        q.reshape(-1, HC)[in_e],
+        k.reshape(-1, HC)[out_e],
+        v.reshape(-1, HC)[out_e],
+        e_atom.reshape(-1, HC),
+        rbf.reshape(-1, L * K)[out_e],
+        w_bd,
+        bias.reshape(1, HC),
+        jnp.asarray(z, jnp.float32),
+        jnp.asarray(a_ids), jnp.asarray(b_ids),
+        heads=H, num_radial=K, interpret=True, i_chunk=i_chunk,
+        dropout_mask=drop, return_alpha=return_alpha)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_pallas_dropout_matches_xla_core(make_molecule, rng, chunked):
+    from x2gnn_tpu.ops.attention import pair_dropout_mask
+    b, tensors, geom = _problem(make_molecule, rng)
+    N, D = b.in_edges.shape
+    ic = (8 if D % 8 == 0 else D) if chunked else None
+    drop = pair_dropout_mask(jax.random.PRNGKey(7), 0.35, N, D, H)
+    ref = np.asarray(_xla_core_out(b, tensors, geom, drop=drop))
+    got = np.asarray(_pallas_blk_out(b, tensors, geom, i_chunk=ic,
+                                     drop=drop))
+    got_e = got.reshape(N * D, HC)[b.edge_inpos].reshape(-1, H, C)
+    ref_e = ref.reshape(N * D, HC)[b.edge_inpos].reshape(-1, H, C)
+    em = b.edge_mask
+    np.testing.assert_allclose(got_e[em], ref_e[em], rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_pallas_return_alpha_matches_xla_core(make_molecule, rng, chunked):
+    from x2gnn_tpu.ops.attention import pair_dropout_mask
+    b, tensors, geom = _problem(make_molecule, rng)
+    N, D = b.in_edges.shape
+    ic = (8 if D % 8 == 0 else D) if chunked else None
+    drop = pair_dropout_mask(jax.random.PRNGKey(3), 0.25, N, D, H)
+    ref_out, ref_alpha = _xla_core_out(b, tensors, geom, drop=drop,
+                                       return_alpha=True)
+    got_out, got_alpha = _pallas_blk_out(b, tensors, geom, i_chunk=ic,
+                                         drop=drop, return_alpha=True)
+    pm = np.asarray(geom[2])
+    # alpha is the PRE-dropout softmax in both implementations
+    np.testing.assert_allclose(np.asarray(got_alpha)[pm],
+                               np.asarray(ref_alpha)[pm],
+                               rtol=3e-4, atol=3e-5)
+    em = b.edge_mask
+    got_e = np.asarray(got_out).reshape(N * D, HC)[b.edge_inpos]
+    ref_e = np.asarray(ref_out).reshape(N * D, HC)[b.edge_inpos]
+    np.testing.assert_allclose(got_e[em], ref_e[em], rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_dropout_gradients_match_xla_core(make_molecule, rng):
+    from x2gnn_tpu.ops.attention import pair_dropout_mask
+    b, tensors, geom = _problem(make_molecule, rng)
+    N, D = b.in_edges.shape
+    drop = pair_dropout_mask(jax.random.PRNGKey(11), 0.3, N, D, H)
+    em_blk = jnp.asarray(
+        (np.arange(N * D).reshape(N, D) >= 0)
+        & np.asarray(b.in_mask))[..., None]
+
+    def loss_core(q, k, v, W, bias):
+        out = _xla_core_out(b, (q, k, v, tensors[3], W, bias), geom,
+                            drop=drop)
+        out = out.reshape(N, D, HC)
+        return jnp.where(em_blk, out + out ** 2, 0.0).sum()
+
+    def loss_pal(q, k, v, W, bias):
+        out = _pallas_blk_out(b, (q, k, v, tensors[3], W, bias), geom,
+                              drop=drop)
+        return jnp.where(em_blk, out + out ** 2, 0.0).sum()
+
+    args = (tensors[0], tensors[1], tensors[2], tensors[4], tensors[5])
+    g_ref = jax.grad(loss_core, argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, r in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_blocked_conv_dropout_keeps_pallas_and_matches(make_molecule, rng):
+    """Full model: dropout training with use_pallas=True equals the XLA
+    core under the same 'dropout' rng — the two paths share the
+    pair-space mask stream."""
+    import dataclasses
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.models import X2GNN
+    cfg = ModelConfig(conv_layers=2, in_channels=32, embedding_size=32,
+                      heads=4, sbf_dim=3, rbf_dim=4, edge_feat_dim=8,
+                      dropout=0.4, attention_layout="blocked")
+    gs = []
+    for i in range(3):
+        numbers, pos = make_molecule(n_atoms=int(rng.integers(5, 10)))
+        g = build_mol_graph(numbers, pos, y=np.array([0.0]),
+                            edge_feat_dim=8)
+        g.edge_feat[:] = rng.normal(size=g.edge_feat.shape).astype(
+            np.float32)
+        gs.append(g)
+    b = pad_graphs(gs, pad_budget_for(gs, 3))
+    model_pal = X2GNN(dataclasses.replace(cfg, use_pallas=True))
+    model_xla = X2GNN(dataclasses.replace(cfg, use_pallas=False))
+    params = model_xla.init(jax.random.PRNGKey(0), b)
+    rngs = {"dropout": jax.random.PRNGKey(42)}
+    out_pal = np.asarray(model_pal.apply(params, b, deterministic=False,
+                                         rngs=rngs))
+    out_xla = np.asarray(model_xla.apply(params, b, deterministic=False,
+                                         rngs=rngs))
+    np.testing.assert_allclose(out_pal, out_xla, rtol=1e-3, atol=1e-4)
+    # and dropout actually does something vs deterministic
+    out_det = np.asarray(model_pal.apply(params, b))
+    assert np.abs(out_pal - out_det).max() > 1e-6

@@ -70,8 +70,8 @@ def parse_args(argv=None):
                         "'ring' exchanges K/V shard-by-shard via ppermute")
     p.add_argument("--dropout", type=float, default=None,
                    help="attention-weight dropout (segment/blocked "
-                        "layouts, single-device or --data-parallel; "
-                        "reference sbftransformer_conv.py:153)")
+                        "layouts on any parallelism mode; reference "
+                        "sbftransformer_conv.py:153)")
     p.add_argument("--bucket-shapes", type=int, default=None,
                    help="size-bucketed batch budgets: group molecules by "
                         "size and compile N quantized batch shapes "

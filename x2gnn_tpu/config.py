@@ -35,10 +35,10 @@ class ModelConfig:
     mlp_depth: int = 3
     # attention-weight dropout (sbftransformer_conv.py:153). Live on the
     # segment AND blocked layouts (matched pair-space masks, equivalence-
-    # tested), single-device or plain DP; dropout training on the blocked
-    # layout runs the XLA core (the fused Pallas kernel never materializes
-    # alpha). The padded layout / EP / hybrid raise rather than silently
-    # ignore it.
+    # tested) on every execution path: single-device, plain DP, EP and
+    # hybrid (per-shard masks), with the blocked layout streaming the
+    # mask into the fused Pallas kernel. The padded layout raises rather
+    # than silently ignore it.
     dropout: float = 0.0
     # beta-gated skip connection in the attention conv (the reference
     # defines the branch but uses beta=False everywhere,

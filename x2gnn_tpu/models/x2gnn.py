@@ -140,11 +140,8 @@ class X2GNN(nn.Module):
             use_pallas = cfg.use_pallas
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
-            if drop_active:
-                # dropout multiplies the materialized alpha — runs the
-                # XLA blocked core (the fused kernel never forms alpha);
-                # eval/serving steps (deterministic) still use Pallas
-                use_pallas = False
+            # round-3: dropout streams a pair keep-mask into the fused
+            # kernel, so dropout training keeps the Pallas path
             pair_mask = (batch.in_mask[:, :, None]
                          & batch.out_mask[:, None, :]
                          & (in_src[:, :, None] != out_dst[:, None, :]))

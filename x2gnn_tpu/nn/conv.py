@@ -193,10 +193,10 @@ class BlockedEdgeAttentionConv(nn.Module):
     # attention-weight dropout (sbftransformer_conv.py:153). Active
     # (dropout > 0 and deterministic=False) it draws a per-(atom, in-slot,
     # out-slot, head) keep mask from the 'dropout' rng stream — the same
-    # pair space, stream and shape the segment layout uses, so the two
+    # pair space, stream and shape the segment layout uses, so the
     # layouts drop identical weights under one rng (equivalence-tested).
-    # Runs the XLA core (cbf/pair_mask required): the fused Pallas kernel
-    # never materializes alpha.
+    # Round-3: the mask streams INTO the fused Pallas kernel, so
+    # dropout > 0 (and return_attention_weights) keep the fused path.
     dropout: float = 0.0
     use_pallas: Optional[bool] = None
     # bfloat16 halves the K/V re-index gather traffic and the projection
@@ -253,14 +253,6 @@ class BlockedEdgeAttentionConv(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        if drop_active or return_attention_weights:
-            # alpha must be materialized (dropout multiplies it; weight
-            # introspection returns it) — the fused kernel never forms it
-            use_pallas = False
-            assert cbf is not None and pair_mask is not None, (
-                "dropout / return_attention_weights need the XLA core "
-                "inputs (cbf, pair_mask); the model disables use_pallas "
-                "when dropout training is active")
         if use_pallas:
             assert z is not None and a_ids is not None
             from x2gnn_tpu.ops.pallas import (
@@ -268,6 +260,15 @@ class BlockedEdgeAttentionConv(nn.Module):
             w_bd = expand_block_diagonal(w_sbf, L, K, self.channels)
             e_a = e_atom.reshape(N, self.channels)
             bias = b_sbf.reshape(1, self.channels)
+            drop_mask = None
+            if drop_active:
+                # canonical pair-space keep mask streamed INTO the fused
+                # kernel (round-3: dropout > 0 keeps the Pallas path);
+                # same rng stream/shape as the XLA core and segment
+                # layouts, so all three drop identical weights
+                drop_mask = pair_dropout_mask(
+                    self.make_rng("dropout"), self.dropout, N, D, H)
+            want_a = bool(return_attention_weights)
             if 0 < n_hi < N and 0 < d_lo < D:
                 # two-tier degree split: atoms are degree-sorted, so rows
                 # >= n_hi all have degree <= d_lo — run them in a
@@ -277,14 +278,27 @@ class BlockedEdgeAttentionConv(nn.Module):
                     q[:n_hi], k_out[:n_hi], v_out[:n_hi], e_a[:n_hi],
                     rbf_env_out[:n_hi], w_bd, bias,
                     z[:n_hi], a_ids[:n_hi], b_ids[:n_hi],
-                    heads=H, num_radial=K)
+                    heads=H, num_radial=K,
+                    dropout_mask=(None if drop_mask is None
+                                  else drop_mask[:n_hi]),
+                    return_alpha=want_a)
                 out_lo = pallas_blocked_attention(
                     q[n_hi:, :d_lo], k_out[n_hi:, :d_lo],
                     v_out[n_hi:, :d_lo], e_a[n_hi:],
                     rbf_env_out[n_hi:, :d_lo], w_bd, bias,
                     z[n_hi:, :d_lo, :d_lo],
                     a_ids[n_hi:, :d_lo], b_ids[n_hi:, :d_lo],
-                    heads=H, num_radial=K)
+                    heads=H, num_radial=K,
+                    dropout_mask=(None if drop_mask is None
+                                  else drop_mask[n_hi:, :d_lo, :d_lo]),
+                    return_alpha=want_a)
+                if want_a:
+                    out_hi, alpha_hi = out_hi
+                    out_lo, alpha_lo = out_lo
+                    alpha_pairs = jnp.zeros((N, D, D, H), alpha_hi.dtype)
+                    alpha_pairs = alpha_pairs.at[:n_hi].set(alpha_hi)
+                    alpha_pairs = alpha_pairs.at[
+                        n_hi:, :d_lo, :d_lo].set(alpha_lo)
                 out = jnp.zeros((N, D, self.channels), out_hi.dtype)
                 out = out.at[:n_hi].set(out_hi)
                 out = out.at[n_hi:, :d_lo].set(out_lo)
@@ -292,7 +306,11 @@ class BlockedEdgeAttentionConv(nn.Module):
                 out = pallas_blocked_attention(
                     q, k_out, v_out, e_a,
                     rbf_env_out, w_bd, bias,
-                    z, a_ids, b_ids, heads=H, num_radial=K)  # (N, D, HC)
+                    z, a_ids, b_ids, heads=H, num_radial=K,
+                    dropout_mask=drop_mask,
+                    return_alpha=want_a)               # (N, D, HC)
+                if want_a:
+                    out, alpha_pairs = out
         else:
             drop_mask = None
             if drop_active:

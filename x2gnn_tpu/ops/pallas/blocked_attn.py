@@ -92,12 +92,14 @@ def _heads_bcast(x_h, Mind):
 
 
 def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
-                    BA, D, H, C, L):
+                    BA, D, H, C, L, drop=None):
     """Forward math for a whole atom block, vectorized over BA atoms (the
     VPU is fed (BA*D*D, HC) slabs instead of per-atom crumbs).
-    q/k/v: (BA, D, HC); z/valid: (BA, D, D); G_flat: (BA, D, L*HC).
-    Returns (alpha (BA,Di,Dk,H), alpha_rep (BA,Di,Dk,HC), s (...,HC),
-    out (BA,D,HC))."""
+    q/k/v: (BA, D, HC); z/valid: (BA, D, D); G_flat: (BA, D, L*HC);
+    drop: optional (BA, Di, Dk, H) keep mask pre-scaled by 1/keep —
+    applied to alpha AFTER the softmax (sbftransformer_conv.py:153).
+    Returns (alpha (BA,Di,Dk,H) PRE-dropout, alpha_rep (BA,Di,Dk,HC)
+    POST-dropout, s (...,HC), out (BA,D,HC))."""
     HC = H * C
     validf = jnp.expand_dims(valid, -1)                # (BA, Di, Dk, 1)
     prod = jnp.expand_dims(q, 2) * jnp.expand_dims(k, 1)  # (BA,Di,Dk,HC)
@@ -109,7 +111,8 @@ def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
     ex = ex * validf
     denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
     alpha = ex / denom
-    alpha_rep = _heads_bcast(alpha.reshape(BA * D * D, H), Mind)
+    alpha_used = alpha if drop is None else alpha * drop
+    alpha_rep = _heads_bcast(alpha_used.reshape(BA * D * D, H), Mind)
     alpha_rep = alpha_rep.reshape(BA, D, D, HC)
 
     P = _legendre_stack(z, L)                          # list (BA, Di, Dk)
@@ -124,7 +127,14 @@ def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
-                a_ref, b_ids_ref, out_ref, *, BA, D, H, C, L, K):
+                a_ref, b_ids_ref, *rest, BA, D, H, C, L, K,
+                HAS_DROP=False, WANT_ALPHA=False):
+    # rest = ([drop_ref]) + (out_ref, [alpha_ref]) by the static flags
+    i = 0
+    drop_ref = rest[i] if HAS_DROP else None
+    i += int(HAS_DROP)
+    out_ref = rest[i]
+    alpha_ref = rest[i + 1] if WANT_ALPHA else None
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
     w_bd = w_ref[:]                                      # (LK, L*HC)
@@ -140,15 +150,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
              & (bid >= 0)).astype(jnp.float32)
     G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
                  w_bd).reshape(BA, D, L * (H * C))
-    _, _, _, out = _attention_core(
-        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L)
+    alpha, _, _, out = _attention_core(
+        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L,
+        drop=None if drop_ref is None else drop_ref[:])
     out_ref[:] = out
+    if WANT_ALPHA:
+        alpha_ref[:] = alpha
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
-                a_ref, b_ids_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref,
-                *, BA, D, H, C, L, K):
+                a_ref, b_ids_ref, *rest, BA, D, H, C, L, K,
+                HAS_DROP=False, WANT_ALPHA=False):
+    # rest = ([drop_ref]) + (g_ref, [galpha_ref]) + 6 output refs
+    i = 0
+    drop_ref = rest[i] if HAS_DROP else None
+    i += int(HAS_DROP)
+    g_ref = rest[i]
+    i += 1
+    galpha_ref = rest[i] if WANT_ALPHA else None
+    i += int(WANT_ALPHA)
+    dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref = rest[i:i + 6]
     HC = H * C
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
@@ -171,11 +192,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
              & (bid >= 0)).astype(jnp.float32)
     rbf = rbf_ref[:].reshape(BA * D, L * K)
     G_flat = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+    drop = None if drop_ref is None else drop_ref[:]
     alpha, alpha_rep, sfull, _ = _attention_core(
-        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L)
+        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L, drop=drop)
     g = g_ref[:]                                         # (BA, Di, HC)
 
-    # msg = v_k * s_ik * alpha_ik (broadcast over i)
+    # msg = v_k * s_ik * alpha_ik (broadcast over i); alpha_rep already
+    # carries the dropout mask, so ds/dv see the dropped weights
     g4 = jnp.expand_dims(g, 2)                           # (BA, Di, 1, HC)
     v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
     ds = g4 * v4 * alpha_rep
@@ -183,6 +206,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     dalpha_rep = g4 * v4 * sfull
     dalpha = _heads_sum(dalpha_rep.reshape(BA * D * D, HC), Mind)
     dalpha = dalpha.reshape(BA, D, D, H)
+    if drop is not None:
+        dalpha = dalpha * drop       # chain through alpha_used = a * m
+    if WANT_ALPHA:
+        dalpha = dalpha + galpha_ref[:]   # cotangent of the alpha output
     inner = (alpha * dalpha).sum(axis=2, keepdims=True)
     dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
     dscores = dscores * jnp.expand_dims(valid, -1)
@@ -208,8 +235,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
 
 
 def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, valid_ref, out_ref, g_scratch,
-                       *, BA, D, H, C, L, K, IC):
+                       z_ref, valid_ref, *rest, BA, D, H, C, L, K, IC,
+                       HAS_DROP=False, WANT_ALPHA=False):
     """Grid-chunked forward: the query (in-edge) axis is tiled by the
     SECOND grid dimension, so each step works on (BA, IC, D, HC)
     temporaries with purely static tiles — no in-kernel dynamic slicing
@@ -218,6 +245,13 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     (out-edges) stays whole per tile, so the math is identical to the
     one-shot kernel. k/v/e/rbf blocks are indexed by the atom-block grid
     dim only and stay VMEM-resident across the chunk sweep."""
+    # rest = ([drop_ref]) + (out_ref, [alpha_ref]); scratch last
+    i = 0
+    drop_ref = rest[i] if HAS_DROP else None
+    i += int(HAS_DROP)
+    out_ref = rest[i]
+    alpha_ref = rest[i + 1] if WANT_ALPHA else None
+    g_scratch = rest[-1]
     HC = H * C
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
@@ -247,7 +281,9 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
     ex = jnp.exp(scores - smax) * validf
     denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-    alpha_rep = _heads_bcast((ex / denom).reshape(BA * IC * D, H),
+    alpha = ex / denom                                   # (BA, IC, Dk, H)
+    alpha_used = alpha if drop_ref is None else alpha * drop_ref[:]
+    alpha_rep = _heads_bcast(alpha_used.reshape(BA * IC * D, H),
                              Mind).reshape(BA, IC, D, HC)
     P = _legendre_stack(z_c, L)                          # list (BA, IC, Dk)
     sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
@@ -255,16 +291,27 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
         Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
         sm = sm + jnp.expand_dims(P[l], -1) * jnp.expand_dims(Gl, 1)
     out_ref[:] = (v4 * sm * alpha_rep).sum(axis=2)
+    if WANT_ALPHA:
+        alpha_ref[:] = alpha
 
 
 def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, valid_ref, g_ref,
-                       dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref,
-                       g_scratch, *, BA, D, H, C, L, K, IC):
+                       z_ref, valid_ref, *rest, BA, D, H, C, L, K, IC,
+                       HAS_DROP=False, WANT_ALPHA=False):
     """Grid-chunked backward. dq is tiled like q; dk/dv/de accumulate
     across the chunk sweep into atom-block-indexed output blocks (zeroed
     at chunk 0), dw/db accumulate across the whole grid (zeroed at
     step (0, 0)) — the standard revisited-output accumulation pattern."""
+    # rest = ([drop_ref]) + (g_ref, [galpha_ref]) + 6 outputs; scratch last
+    i = 0
+    drop_ref = rest[i] if HAS_DROP else None
+    i += int(HAS_DROP)
+    g_ref = rest[i]
+    i += 1
+    galpha_ref = rest[i] if WANT_ALPHA else None
+    i += int(WANT_ALPHA)
+    dq_ref, dk_ref, dv_ref, de_ref, dw_ref, db_ref = rest[i:i + 6]
+    g_scratch = rest[-1]
     HC = H * C
     Mind = _head_indicator(H, C)
     bias = b_ref[0, :]
@@ -307,7 +354,9 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     ex = jnp.exp(scores - smax) * validf
     denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
     alpha = ex / denom                                   # (BA, IC, Dk, H)
-    alpha_rep = _heads_bcast(alpha.reshape(BA * IC * D, H),
+    drop = None if drop_ref is None else drop_ref[:]
+    alpha_used = alpha if drop is None else alpha * drop
+    alpha_rep = _heads_bcast(alpha_used.reshape(BA * IC * D, H),
                              Mind).reshape(BA, IC, D, HC)
     P = _legendre_stack(z_c, L)
     sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
@@ -319,6 +368,10 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     dv_c = (g4 * sm * alpha_rep).sum(axis=1)
     dalpha = _heads_sum((g4 * v4 * sm).reshape(BA * IC * D, HC), Mind)
     dalpha = dalpha.reshape(BA, IC, D, H)
+    if drop is not None:
+        dalpha = dalpha * drop
+    if WANT_ALPHA:
+        dalpha = dalpha + galpha_ref[:]
     inner = (alpha * dalpha).sum(axis=2, keepdims=True)
     dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
     dscores = dscores * validf
@@ -343,19 +396,32 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                              num_radial: int,
                              block_atoms: int | None = None,
                              interpret: bool | None = None,
-                             i_chunk: int | None = None):
+                             i_chunk: int | None = None,
+                             dropout_mask=None,
+                             return_alpha: bool = False):
     """Fused blocked attention; differentiable in q/k/v/e_atom/w_bd/bias
     (rbf_blk and z are geometry — their grads are zero).
 
     For large degree budgets (D > 40, e.g. AID molecules at D=64), the
     (D, D, HC) temporaries of the one-shot kernel exceed v5e's 16 MB VMEM
     scope; the i-chunked kernels iterate over query sub-blocks of `i_chunk`
-    rows instead (identical numerics — the softmax axis stays whole)."""
+    rows instead (identical numerics — the softmax axis stays whole).
+
+    dropout_mask: optional (N, D, D, H) keep mask pre-scaled by 1/keep
+    (ops.attention.pair_dropout_mask), streamed into the kernel and
+    applied to the softmax weights AFTER normalization
+    (sbftransformer_conv.py:153) — dropout>0 keeps the fused path.
+    return_alpha: also return the PRE-dropout weights (N, D, D, H)
+    (PyG's return_attention_weights saves alpha before dropout); the
+    alpha output is differentiable (its cotangent joins the softmax vjp).
+    """
     N, D, HC = q_blk.shape
     K = num_radial
     L = rbf_blk.shape[-1] // K
     H = heads
     C = HC // H
+    HAS_DROP = dropout_mask is not None
+    WANT_ALPHA = bool(return_alpha)
     if i_chunk is None and D > 40:
         # largest divisor of D that is <= 8 (auto selection must not
         # assert-crash on valid budgets whose D isn't a multiple of 8)
@@ -365,13 +431,15 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     if block_atoms is None:
         # VMEM tiles pad the lane (last) dim to 128: HC < 128 still costs
         # 128 lanes per row (found the hard way — a HC=32 run OOMed with
-        # a budget sized for HC=32)
+        # a budget sized for HC=32); the dropout mask and alpha output
+        # each add one more (.., D, H->128-lane) temporary
         lanes = max(HC, 128)
+        n_live = 8 + int(HAS_DROP) + int(WANT_ALPHA)
         if i_chunk is not None:
-            # ~8 live (IC, D, HC) chunk temporaries per atom
-            per_atom = i_chunk * D * lanes * 4 * 8
+            # ~n_live live (IC, D, HC) chunk temporaries per atom
+            per_atom = i_chunk * D * lanes * 4 * n_live
         else:
-            per_atom = D * D * lanes * 4 * 8  # ~8 live (D,D,HC) temporaries
+            per_atom = D * D * lanes * 4 * n_live
         block_atoms = 8
         while block_atoms > 1 and (block_atoms * per_atom > 10 * 2 ** 20
                                    or N % block_atoms):
@@ -402,6 +470,8 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                        memory_space=pltpu.VMEM),
         ids=pl.BlockSpec((BA, 1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+        pair_h=pl.BlockSpec((BA, D, D, H), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM),
     )
 
     n_chunks = 1 if i_chunk is None else D // i_chunk
@@ -426,45 +496,71 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                            memory_space=pltpu.VMEM),
             z=pl.BlockSpec((BA, IC, D), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM),
+            pair_h=pl.BlockSpec((BA, IC, D, H), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM),
         )
 
+    kflags = dict(HAS_DROP=HAS_DROP, WANT_ALPHA=WANT_ALPHA)
+
     # The non-differentiated operands (basis tables, angle cosines, pair
-    # validity / atom-id tables) are EXPLICIT custom_vjp arguments with
-    # zero cotangents, not closure captures: a custom_vjp that closes
-    # over tracers leaks across jax.checkpoint / nn.remat tracing
-    # (cfg.remat wraps this kernel). They are pure geometry — no
-    # trainable parameter feeds them — so their gradients are unused.
+    # validity / atom-id tables, dropout mask) are EXPLICIT custom_vjp
+    # arguments with zero cotangents, not closure captures: a custom_vjp
+    # that closes over tracers leaks across jax.checkpoint / nn.remat
+    # tracing (cfg.remat wraps this kernel). They are pure geometry/rng —
+    # no trainable parameter feeds them — so their gradients are unused.
     def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-                 rbf_blk, z, aux_a, aux_b):
+                 rbf_blk, z, aux_a, aux_b, drop):
         if i_chunk is not None:
             kern = functools.partial(_fwd_kernel_ichunk, BA=BA, D=D, H=H,
-                                     C=C, L=L, K=K, IC=i_chunk)
+                                     C=C, L=L, K=K, IC=i_chunk, **kflags)
+            in_specs = [cspecs["q"], cspecs["kv"], cspecs["kv"],
+                        cspecs["e"], cspecs["rbf"], cspecs["w"],
+                        cspecs["b"], cspecs["z"], cspecs["z"]]
+            operands = [q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd,
+                        s_bias, z, aux_a]
+            if HAS_DROP:
+                in_specs.append(cspecs["pair_h"])
+                operands.append(drop)
+            out_specs = cspecs["q"]
+            out_shape = jax.ShapeDtypeStruct((N, D, HC), jnp.float32)
+            if WANT_ALPHA:
+                out_specs = (out_specs, cspecs["pair_h"])
+                out_shape = (out_shape, jax.ShapeDtypeStruct(
+                    (N, D, D, H), jnp.float32))
             return pl.pallas_call(
                 kern,
                 grid=(n_blocks, n_chunks),
-                in_specs=[cspecs["q"], cspecs["kv"], cspecs["kv"],
-                          cspecs["e"], cspecs["rbf"], cspecs["w"],
-                          cspecs["b"], cspecs["z"], cspecs["z"]],
-                out_specs=cspecs["q"],
-                out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
                 scratch_shapes=[
                     pltpu.VMEM((BA, D, L * HC), jnp.float32)],
                 interpret=interp,
-            )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-              aux_a)
+            )(*operands)
         kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C,
-                                 L=L, K=K)
+                                 L=L, K=K, **kflags)
+        in_specs = [specs["q"], specs["q"], specs["q"], specs["e"],
+                    specs["rbf"], specs["w"], specs["b"], specs["z"],
+                    specs["ids"], specs["ids"]]
+        operands = [q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias,
+                    z, aux_a, aux_b]
+        if HAS_DROP:
+            in_specs.append(specs["pair_h"])
+            operands.append(drop)
+        out_specs = specs["q"]
+        out_shape = jax.ShapeDtypeStruct((N, D, HC), jnp.float32)
+        if WANT_ALPHA:
+            out_specs = (out_specs, specs["pair_h"])
+            out_shape = (out_shape, jax.ShapeDtypeStruct(
+                (N, D, D, H), jnp.float32))
         return pl.pallas_call(
             kern,
             grid=(n_blocks,),
-            in_specs=[specs["q"], specs["q"], specs["q"], specs["e"],
-                      specs["rbf"], specs["w"], specs["b"], specs["z"],
-                      specs["ids"], specs["ids"]],
-            out_specs=specs["q"],
-            out_shape=jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interp,
-        )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-          aux_a, aux_b)
+        )(*operands)
 
     def _zero_ct(x):
         if x is None:
@@ -475,20 +571,22 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
 
     @jax.custom_vjp
     def run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-            rbf_blk, z, aux_a, aux_b):
+            rbf_blk, z, aux_a, aux_b, drop):
         return _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-                        rbf_blk, z, aux_a, aux_b)
+                        rbf_blk, z, aux_a, aux_b, drop)
 
     def fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-            rbf_blk, z, aux_a, aux_b):
+            rbf_blk, z, aux_a, aux_b, drop):
         out = _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-                       rbf_blk, z, aux_a, aux_b)
+                       rbf_blk, z, aux_a, aux_b, drop)
         return out, (q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-                     rbf_blk, z, aux_a, aux_b)
+                     rbf_blk, z, aux_a, aux_b, drop)
 
     def bwd(res, g):
         (q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-         rbf_blk, z, aux_a, aux_b) = res
+         rbf_blk, z, aux_a, aux_b, drop) = res
+        if WANT_ALPHA:
+            g, galpha = g
         out_shapes = (
             jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
             jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
@@ -499,49 +597,72 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
         )
         if i_chunk is not None:
             kern = functools.partial(_bwd_kernel_ichunk, BA=BA, D=D, H=H,
-                                     C=C, L=L, K=K, IC=i_chunk)
+                                     C=C, L=L, K=K, IC=i_chunk, **kflags)
+            in_specs = [cspecs["q"], cspecs["kv"], cspecs["kv"],
+                        cspecs["e"], cspecs["rbf"], cspecs["w"],
+                        cspecs["b"], cspecs["z"], cspecs["z"]]
+            operands = [q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd,
+                        s_bias, z, aux_a]
+            if HAS_DROP:
+                in_specs.append(cspecs["pair_h"])
+                operands.append(drop)
+            in_specs.append(cspecs["q"])
+            operands.append(g)
+            if WANT_ALPHA:
+                in_specs.append(cspecs["pair_h"])
+                operands.append(galpha)
             dq, dk, dv, de, dw, db = pl.pallas_call(
                 kern,
                 grid=(n_blocks, n_chunks),
-                in_specs=[cspecs["q"], cspecs["kv"], cspecs["kv"],
-                          cspecs["e"], cspecs["rbf"], cspecs["w"],
-                          cspecs["b"], cspecs["z"], cspecs["z"],
-                          cspecs["q"]],
+                in_specs=in_specs,
                 out_specs=(cspecs["q"], cspecs["kv"], cspecs["kv"],
                            cspecs["e"], cspecs["w"], cspecs["b"]),
                 out_shape=out_shapes,
                 scratch_shapes=[
                     pltpu.VMEM((BA, D, L * HC), jnp.float32)],
                 interpret=interp,
-            )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-              aux_a, g)
+            )(*operands)
         else:
             kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C,
-                                     L=L, K=K)
+                                     L=L, K=K, **kflags)
+            in_specs = [specs["q"], specs["q"], specs["q"], specs["e"],
+                        specs["rbf"], specs["w"], specs["b"], specs["z"],
+                        specs["ids"], specs["ids"]]
+            operands = [q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd,
+                        s_bias, z, aux_a, aux_b]
+            if HAS_DROP:
+                in_specs.append(specs["pair_h"])
+                operands.append(drop)
+            in_specs.append(specs["q"])
+            operands.append(g)
+            if WANT_ALPHA:
+                in_specs.append(specs["pair_h"])
+                operands.append(galpha)
             dq, dk, dv, de, dw, db = pl.pallas_call(
                 kern,
                 grid=(n_blocks,),
-                in_specs=[specs["q"], specs["q"], specs["q"], specs["e"],
-                          specs["rbf"], specs["w"], specs["b"], specs["z"],
-                          specs["ids"], specs["ids"], specs["q"]],
+                in_specs=in_specs,
                 out_specs=(specs["q"], specs["q"], specs["q"], specs["e"],
                            specs["w"], specs["b"]),
                 out_shape=out_shapes,
                 interpret=interp,
-            )(q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias, z,
-              aux_a, aux_b, g)
+            )(*operands)
         # bf16 primals require bf16 cotangents (kernel math stays f32)
         return (dq.astype(q_blk.dtype), dk.astype(k_blk.dtype),
                 dv.astype(v_blk.dtype), de.astype(e_atom3.dtype),
                 dw.astype(w_bd.dtype), db.astype(s_bias.dtype),
                 _zero_ct(rbf_blk), _zero_ct(z), _zero_ct(aux_a),
-                _zero_ct(aux_b))
+                _zero_ct(aux_b), _zero_ct(drop))
 
     run.defvjp(fwd, bwd)
+    # dummy stand-in keeps the custom_vjp arity fixed when dropout is off
+    # (it is never wired into the pallas_call in that case)
+    drop_arg = (dropout_mask if HAS_DROP
+                else jnp.zeros((1, 1), jnp.float32))
     if i_chunk is not None:
         out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-                  rbf_blk, z, valid_f, None)
+                  rbf_blk, z, valid_f, None, drop_arg)
     else:
         out = run(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
-                  rbf_blk, z, a_ids3, b_ids3)
+                  rbf_blk, z, a_ids3, b_ids3, drop_arg)
     return out

@@ -250,7 +250,8 @@ def _ring_gather_rows(bufs, out2in, out_mask, axis_name=AXIS):
 
 
 def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
-                      num_atoms_global: int, kv_exchange: str = "allgather"):
+                      num_atoms_global: int, kv_exchange: str = "allgather",
+                      dropout_key=None):
     p = params["params"]
     Nl, D = epb.in_mask.shape
     G = epb.y.shape[0]
@@ -325,6 +326,18 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
             pooled = pooled / jnp.maximum(cnt, 1.0)[:, None]
         return _mlp(rp["mlp"], pooled, cfg.mlp_depth)     # (G, 1)
 
+    # attention dropout under EP (round-3): each shard draws its own
+    # per-(local atom, in-slot, out-slot, head) keep mask from a key
+    # folded with its mesh position — independent Bernoulli noise over
+    # the sharded pair space (statistically the reference's alpha
+    # dropout, sbftransformer_conv.py:153; not bit-matched to the
+    # single-device stream, which shards cannot reproduce without
+    # materializing the global pair space)
+    axis_key = None
+    if dropout_key is not None and cfg.dropout > 0:
+        axis_key = jax.random.fold_in(dropout_key,
+                                      jax.lax.axis_index(AXIS))
+
     def conv(i, x_blk, e_atom):
         cp = p[f"conv_{i}"]
         x_src = x_blk * _lin(cp["lin_rbf"], node_rbf)
@@ -362,6 +375,11 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
         ex = jnp.where(pair_mask[..., None], ex, 0.0)
         denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
         alpha = ex / denom                               # (Nl, Di, Dk, H)
+        if axis_key is not None:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(axis_key, i), 1.0 - cfg.dropout,
+                (Nl, D, D, H))
+            alpha = alpha * keep / (1.0 - cfg.dropout)
         out = jnp.einsum("nikh,nkhc->nihc", alpha, v4) * b_sbf
         G5 = G_out.reshape(Nl, D, L, H, C)
         for l in range(L):
@@ -419,9 +437,13 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
 
 def make_ep_forward(cfg: ModelConfig, mesh: Mesh,
                     num_atoms_global: int,
-                    kv_exchange: str = "allgather") -> Callable:
+                    kv_exchange: str = "allgather",
+                    with_dropout: bool = False) -> Callable:
     """fn(params, sharded EPBatch) -> (G,) predictions. Parameter tree ==
-    X2GNN's (init with the flax model). kv_exchange: 'allgather' | 'ring'."""
+    X2GNN's (init with the flax model). kv_exchange: 'allgather' | 'ring'.
+    with_dropout=True returns fn(params, epb, dropout_key) instead — the
+    replicated key is folded with each shard's mesh position inside the
+    shard_map region (cfg.dropout sets the rate)."""
     n_dev = mesh.devices.size
     assert num_atoms_global % n_dev == 0
     assert kv_exchange in ("allgather", "ring")
@@ -432,24 +454,44 @@ def make_ep_forward(cfg: ModelConfig, mesh: Mesh,
     batch_spec = EPBatch(**{
         f: (P() if f in ("y", "graph_mask") else P(AXIS))
         for f in EPBatch.__annotations__})
-    sharded = shard_map(
-        fwd, mesh=mesh, in_specs=(P(), batch_spec), out_specs=P(),
-        check_vma=False)
+    if with_dropout:
+        def fwd_drop(params, epb, key):
+            return fwd(params, epb, dropout_key=key)
+
+        sharded = shard_map(
+            fwd_drop, mesh=mesh, in_specs=(P(), batch_spec, P()),
+            out_specs=P(), check_vma=False)
+    else:
+        sharded = shard_map(
+            fwd, mesh=mesh, in_specs=(P(), batch_spec), out_specs=P(),
+            check_vma=False)
     return jax.jit(sharded)
 
 
 def make_ep_train_step(cfg: ModelConfig, optimizer, ema_decay: float,
                        mesh: Mesh, num_atoms_global: int,
-                       kv_exchange: str = "allgather") -> Callable:
+                       kv_exchange: str = "allgather",
+                       rng_seed: int = 0) -> Callable:
     """Jitted edge-partitioned training step: forward + backward through
     the sharded model (XLA transposes the collectives: the K/V all-gather
     becomes a reduce-scatter in the backward pass), optimizer + EMA update
-    on replicated state. state: TrainState; batch: sharded EPBatch."""
-    fwd = make_ep_forward(cfg, mesh, num_atoms_global, kv_exchange)
+    on replicated state. state: TrainState; batch: sharded EPBatch.
+
+    cfg.dropout > 0 threads a per-step, per-shard attention-dropout rng
+    (deterministic and resume-stable: derived from rng_seed, the step
+    counter, and the shard's mesh position — the DP step's scheme)."""
+    dropout = cfg.dropout > 0
+    fwd = make_ep_forward(cfg, mesh, num_atoms_global, kv_exchange,
+                          with_dropout=dropout)
 
     def step(state, epb: EPBatch):
         def loss_fn(params):
-            pred = fwd(params, epb)
+            if dropout:
+                key = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
+                                         state.step)
+                pred = fwd(params, epb, key)
+            else:
+                pred = fwd(params, epb)
             return smooth_l1_loss(pred, epb.y, mask=epb.graph_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

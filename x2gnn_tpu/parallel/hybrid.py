@@ -87,47 +87,69 @@ def shard_hybrid_batch(stacked: EPBatch, mesh: Mesh) -> EPBatch:
 
 def make_hybrid_forward(cfg: ModelConfig, mesh: Mesh,
                         num_atoms_global: int,
-                        kv_exchange: str = "allgather") -> Callable:
+                        kv_exchange: str = "allgather",
+                        with_dropout: bool = False) -> Callable:
     """fn(params, stacked-sharded EPBatch) -> (n_groups, G) predictions.
 
     Parameter tree == X2GNN's. Requires one EP group per dp shard
     (n_groups == mesh dp size); run several steps for larger batches.
+    with_dropout=True returns fn(params, epb, dropout_key): the key is
+    folded with the dp row index here and the ep shard index inside
+    _ep_forward_local, so every chip draws independent pair masks.
     """
     assert DP_AXIS in mesh.axis_names and AXIS in mesh.axis_names
     ep = mesh.shape[AXIS]
     assert num_atoms_global % ep == 0
     assert kv_exchange in ("allgather", "ring")
 
-    def local_fwd(params, epb: EPBatch):
+    def local_fwd(params, epb: EPBatch, key=None):
         assert epb.y.shape[0] == 1, (
             "one EP group per dp shard: stack exactly mesh.shape['dp'] "
             "EPBatches")
         group = jax.tree_util.tree_map(lambda x: x[0], epb)
+        if key is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
         pred = _ep_forward_local(params, group, cfg=cfg,
                                  num_atoms_global=num_atoms_global,
-                                 kv_exchange=kv_exchange)
+                                 kv_exchange=kv_exchange,
+                                 dropout_key=key)
         return pred[None]
 
     batch_spec = EPBatch(**{f: _hybrid_spec(f)
                             for f in EPBatch.__annotations__})
-    sharded = shard_map(
-        local_fwd, mesh=mesh, in_specs=(P(), batch_spec),
-        out_specs=P(DP_AXIS), check_vma=False)
+    if with_dropout:
+        sharded = shard_map(
+            local_fwd, mesh=mesh, in_specs=(P(), batch_spec, P()),
+            out_specs=P(DP_AXIS), check_vma=False)
+    else:
+        sharded = shard_map(
+            lambda params, epb: local_fwd(params, epb), mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=P(DP_AXIS), check_vma=False)
     return jax.jit(sharded)
 
 
 def make_hybrid_train_step(cfg: ModelConfig, optimizer, ema_decay: float,
                            mesh: Mesh, num_atoms_global: int,
-                           kv_exchange: str = "allgather") -> Callable:
+                           kv_exchange: str = "allgather",
+                           rng_seed: int = 0) -> Callable:
     """Jitted hybrid training step. state: TrainState; batch: stacked +
     sharded EPBatch. Loss = masked mean over all groups' real molecules;
     non-finite losses skip the update (failure containment, as in the DP
-    and EP steps)."""
-    fwd = make_hybrid_forward(cfg, mesh, num_atoms_global, kv_exchange)
+    and EP steps). cfg.dropout > 0 threads a per-step, per-chip
+    attention-dropout rng (the DP/EP scheme)."""
+    dropout = cfg.dropout > 0
+    fwd = make_hybrid_forward(cfg, mesh, num_atoms_global, kv_exchange,
+                              with_dropout=dropout)
 
     def step(state, epb: EPBatch):
         def loss_fn(params):
-            pred = fwd(params, epb)                       # (dp, G)
+            if dropout:
+                key = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
+                                         state.step)
+                pred = fwd(params, epb, key)              # (dp, G)
+            else:
+                pred = fwd(params, epb)                   # (dp, G)
             return smooth_l1_loss(pred.reshape(-1), epb.y.reshape(-1),
                                   mask=epb.graph_mask.reshape(-1))
 

@@ -155,12 +155,6 @@ class Trainer:
         self.edge_partition = edge_partition
         self._hybrid = (mesh is not None and edge_partition is not None
                         and "dp" in getattr(mesh, "axis_names", ()))
-        if model_cfg.dropout > 0 and edge_partition is not None:
-            raise ValueError(
-                "dropout training is supported single-device and under "
-                "plain DP (per-device rng threading); the EP/hybrid "
-                "sharded-attention steps do not implement pair-space "
-                "dropout masks — set dropout=0 or use --data-parallel")
         if self._hybrid:
             # hybrid DP x EP: molecule groups over the 'dp' axis, each
             # group's graph edge-partitioned over 'data' (parallel/hybrid.py)
@@ -173,7 +167,8 @@ class Trainer:
             self._ep_atoms = n_pad
             self._train_step = make_hybrid_train_step(
                 model_cfg, self.optimizer, train_cfg.ema_decay, mesh,
-                n_pad, kv_exchange=edge_partition)
+                n_pad, kv_exchange=edge_partition,
+                rng_seed=train_cfg.random_seed)
             # std=1.0: the MAE calibration is applied host-side in
             # evaluate() so the compiled eval executable is independent
             # of the run's target sigma (precompile/CV cache reuse)
@@ -188,7 +183,8 @@ class Trainer:
             self._ep_atoms = n_pad
             self._train_step = make_ep_train_step(
                 model_cfg, self.optimizer, train_cfg.ema_decay, mesh,
-                n_pad, kv_exchange=edge_partition)
+                n_pad, kv_exchange=edge_partition,
+                rng_seed=train_cfg.random_seed)
             ep_fwd = make_ep_forward(model_cfg, mesh, n_pad,
                                      kv_exchange=edge_partition)
 
