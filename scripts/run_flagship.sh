@@ -11,8 +11,11 @@ WD=${2:-runs/flagship_r3}
 EPOCHS=${3:-200}
 # round-3 definitive recipe: plateau LR schedule (the round-2 run
 # destabilized at sustained max-lr after epoch 48) + pack-to-budget with
-# 8 per-class shapes (0.97 node / 0.80 triplet occupancy on synthq50k)
-EXTRA=${EXTRA:---scheduler plateau --bucket-shapes 8 --pack-budget}
+# 8 per-class shapes (0.97 node / 0.80 triplet occupancy on synthq50k).
+# --atomref-fit is ESSENTIAL for energy labels: training on raw energies
+# (sigma ~527 kcal) instead of composition residuals (sigma ~72) fits
+# train but generalizes at ~1000 kcal val MAE (observed round 3).
+EXTRA=${EXTRA:---scheduler plateau --bucket-shapes 8 --pack-budget --atomref-fit}
 RSS_LIMIT_KB=${RSS_LIMIT_KB:-62000000}   # 62 GB: restart before host OOM
 
 for attempt in $(seq 1 200); do
