@@ -48,6 +48,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/reference/raw/AID_kcal.xyz")
     ap.add_argument("--cache-dir", default="./processed")
+    ap.add_argument("--backend", default="native",
+                    help="featurizer backend: 'native' (x2sv stand-in, "
+                         "round-2 folds) or 'native6311' (embedded "
+                         "published 6-311+G(3df,2p) data) — run both to "
+                         "measure the basis delta")
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--batch-size", type=int, default=32)
@@ -78,7 +83,7 @@ def main():
     from x2gnn_tpu.train.trainer import Trainer
 
     graphs = load_dataset(args.data, cache_dir=args.cache_dir,
-                          backend="native")
+                          backend=args.backend)
     y = np.array([g.y[0] for g in graphs], dtype=np.float64)  # kcal/mol
     n_atoms = np.array([g.num_atoms for g in graphs])
     n = len(graphs)

@@ -279,6 +279,21 @@ class Trainer:
         return batch.replace(
             edge_feat=np.asarray(batch.edge_feat, np.float16))
 
+    def _train_shuffle(self, batches, epoch):
+        """Deterministic per-epoch permutation of the BATCH ORDER for
+        bucketed/packed training. The plan's batches are size-sorted
+        (largest molecules first) — iterating them in that order is a
+        size curriculum every epoch, a non-iid gradient sequence the
+        reference never has (its fixed batches slice a permuted split,
+        trainer.py:22-27, so composition and order are random).
+        Composition and compiled shapes are untouched; only the order
+        in which cached batches are visited changes (resume-stable:
+        seeded by (random_seed, epoch))."""
+        batches = list(batches)
+        rs = np.random.RandomState(
+            (self.tcfg.random_seed * 1000003 + epoch) % (2 ** 31))
+        return iter([batches[j] for j in rs.permutation(len(batches))])
+
     def _batches(self, idx):
         key = self._cache_key(idx)
         if self._batch_cache is not None and key in self._batch_cache:
@@ -404,13 +419,18 @@ class Trainer:
         return (len(idx), hash(np.ascontiguousarray(idx).tobytes()))
 
     # ---- loops -----------------------------------------------------------
-    def run_epoch(self, state: TrainState):
+    def run_epoch(self, state: TrainState, epoch: int = 0):
         # keep losses/counts as device values until the epoch ends: a
         # float() per step would force one host<->device round trip per
         # step (expensive on the remote-attached TPU) and stop the host
         # from enqueueing the next step while the current one runs
         losses, counts = [], []
-        for i, batch in enumerate(self._device_batches(self.train_idx)):
+        batches = self._device_batches(self.train_idx)
+        if self.bucket_shapes and self.mesh is None:
+            # size-sorted plan order is a per-epoch curriculum: visit
+            # the (cached) batches in a deterministic per-epoch shuffle
+            batches = self._train_shuffle(batches, epoch)
+        for i, batch in enumerate(batches):
             state, loss = self._train_step(state, batch)
             losses.append(loss)
             counts.append(batch.graph_mask.sum())
@@ -497,9 +517,9 @@ class Trainer:
             if profile_dir is not None and epoch == 1:
                 from x2gnn_tpu.utils.profiling import trace
                 with trace(profile_dir):
-                    state, loss = self.run_epoch(state)
+                    state, loss = self.run_epoch(state, epoch0 + epoch)
             else:
-                state, loss = self.run_epoch(state)
+                state, loss = self.run_epoch(state, epoch0 + epoch)
             val_err = self.evaluate(state, self.val_idx)
             if plateau is not None:
                 from x2gnn_tpu.train.optim import set_plateau_scale
