@@ -315,3 +315,64 @@ def test_trainer_pack_budget_trains_and_counts_steps(tmp_path):
         Trainer(X2GNN(mcfg), mcfg,
                 dataclasses.replace(tcfg, bucket_shapes=0),
                 graphs, targets, workdir=wd)
+
+
+def test_mixed_packed_plan(rng, make_molecule):
+    """Round-3 mixed-composition FFD packing: one shape, every molecule
+    placed exactly once, budgets respected, batches span sizes."""
+    from x2gnn_tpu.data.batching import (mixed_packed_plan, pad_budget_for,
+                                         pad_graphs)
+    from x2gnn_tpu.data.graphs import build_mol_graph
+    gs = []
+    for i in range(60):
+        numbers, pos = make_molecule(n_atoms=int(rng.integers(4, 20)))
+        gs.append(build_mol_graph(numbers, pos, y=np.array([float(i)]),
+                                  edge_feat_dim=8))
+    base = pad_budget_for(gs, 8)
+    idx = np.arange(60)
+    chunks, budgets, stats = mixed_packed_plan(gs, idx, 8, base)
+    # exact cover
+    seen = np.concatenate(chunks)
+    assert sorted(seen.tolist()) == list(range(60))
+    # one shape
+    assert stats["shapes"] == 1
+    b = budgets[0]
+    for c in chunks:
+        assert sum(gs[i].num_atoms for i in c) <= b.n_node
+        assert sum(gs[i].num_edges for i in c) <= b.n_edge
+        assert sum(gs[i].num_triplets for i in c) <= b.n_trip
+        assert len(c) <= (b.n_graph or 8)
+        # pads and trains
+        batch = pad_graphs([gs[i] for i in c], b,
+                           n_graph=b.n_graph or 8,
+                           targets=np.array([gs[i].y[0] for i in c],
+                                            np.float32))
+        assert batch.numbers.shape[0] == b.n_node
+    # composition diversity: at least one batch mixes small and large
+    spans = [max(gs[i].num_atoms for i in c) - min(gs[i].num_atoms
+             for i in c) for c in chunks if len(c) > 2]
+    assert spans and max(spans) >= 5
+
+
+def test_trainer_pack_mixed_end_to_end(tmp_path, rng):
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+    graphs = synthetic_dataset(80, mean_atoms=10, seed=9)
+    y = np.array([g.y[0] for g in graphs], np.float32)
+    y = (y - y.mean()) / (y.std() + 1e-9)
+    mcfg = ModelConfig(attention_layout="blocked", conv_layers=2,
+                       in_channels=32, embedding_size=32, heads=4,
+                       sbf_dim=3, rbf_dim=4)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=5, ckpt_after_epoch=0,
+                       pack_mixed=True)
+    tr = Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, y,
+                 workdir=str(tmp_path))
+    state, summary = tr.fit(epochs=2)
+    assert np.isfinite(summary["best_val_mae"])
+    import json
+    rec = json.loads(open(str(tmp_path) + "/metrics.jsonl"
+                          ).readlines()[-1])
+    assert rec["budget_shapes"] == 1
+    assert "occupancy_pairs" in rec

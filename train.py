@@ -83,6 +83,12 @@ def parse_args(argv=None):
                         "fixed compute shape) instead of a fixed "
                         "batch-size count — planner occupancy ~0.95+ "
                         "vs ~0.8 at 4 buckets")
+    p.add_argument("--pack-mixed", action="store_true",
+                   help="mixed-composition FFD packing: ONE compiled "
+                        "shape, every batch spans the size distribution "
+                        "(~0.88 occupancy); fixes the per-step accuracy "
+                        "cost of size-homogeneous packed batches "
+                        "(round-3 A/B)")
     p.add_argument("--accum-steps", type=int, default=None,
                    help="gradient accumulation: apply the optimizer every "
                         "N micro-batches (effective batch = N*batch_size)")
@@ -172,6 +178,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, ckpt_every=args.ckpt_every)
     if args.pack_budget:
         tcfg = dataclasses.replace(tcfg, pack_budget=True)
+    if args.pack_mixed:
+        tcfg = dataclasses.replace(tcfg, pack_mixed=True)
     for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps",
                   "scheduler", "bucket_shapes"):
         v = getattr(args, field)

@@ -123,6 +123,14 @@ class TrainConfig:
     # steps/epoch drops and per-step molecule count varies (documented
     # in DECISIONS.md).
     pack_budget: bool = False
+    # mixed-composition first-fit-decreasing packing (ONE compiled
+    # shape, every batch spans the molecule-size distribution —
+    # data/batching.py::mixed_packed_plan). The round-3 A/B showed
+    # size-HOMOGENEOUS batches (bucketed or class-packed plans) cost
+    # accuracy per optimizer step; this keeps packing's throughput
+    # with fixed-batch-like composition diversity. Overrides
+    # bucket_shapes/pack_budget when set.
+    pack_mixed: bool = False
 
     # static batch padding budgets (TPU-specific; no reference equivalent).
     # Defaults fit QM9 at batch_size 32 with the 5 A cutoff.

@@ -347,6 +347,95 @@ def pad_graphs(
     )
 
 
+def mixed_packed_plan(
+    graphs: Sequence[MolGraph],
+    idx,
+    batch_size: int,
+    base: Budgets,
+    multiple: int = 8,
+    fill: float = 0.75,
+    seed: int = 0,
+):
+    """ONE compiled shape, MIXED batch composition, high occupancy:
+    first-fit-decreasing bin packing of molecules into bins whose
+    capacity is ~(total need / target batch count). Each bin starts with
+    a large molecule and fills up with small ones, so every batch spans
+    the size distribution — the round-3 packed-vs-fixed A/B showed that
+    size-HOMOGENEOUS batches (what per-class packing produces) cost
+    real accuracy per optimizer step; composition diversity is the
+    fix, and FFD provides it while keeping ~fill occupancy on the
+    binding dimension and a single executable.
+
+    Returns (chunks, budgets, stats) like size_bucketed_plan. The bin
+    assignment is deterministic in (idx order, seed); `seed` shuffles
+    the FFD scan order of equal-size molecules only via a stable
+    pre-permutation, keeping budgets reproducible.
+    """
+    idx = np.asarray(idx)
+    n_mols = len(idx)
+    mol_needs = np.zeros((n_mols, 4), dtype=np.int64)
+    deg_sq = np.zeros(n_mols, dtype=np.int64)
+    want_split = base.n_deg_lo > 0 and base.n_hi > 0
+    for m, i in enumerate(idx):
+        g = graphs[i]
+        hi = 0
+        if g.num_edges:
+            deg = np.maximum(
+                np.bincount(g.edge_index[0], minlength=g.num_atoms),
+                np.bincount(g.edge_index[1], minlength=g.num_atoms))
+            deg_sq[m] = int((deg.astype(np.int64) ** 2).sum())
+            if want_split:
+                hi = int((deg > base.n_deg_lo).sum())
+        mol_needs[m] = (g.num_atoms, g.num_edges, g.num_triplets, hi)
+
+    def round_up(v):
+        return ((max(int(v), 1) + multiple - 1) // multiple) * multiple
+
+    # capacity per bin: total need spread over the same batch count a
+    # fixed plan would use, inflated only by the fill slack; each
+    # dimension must also fit the single largest molecule
+    n_bins = max(1, -(-n_mols // batch_size))
+    totals = mol_needs.sum(axis=0)
+    cap = np.maximum(np.ceil(totals / (n_bins * fill)),
+                     mol_needs.max(axis=0)).astype(np.int64)
+
+    order = np.argsort(-mol_needs[:, 2], kind="stable")   # FFD: big first
+    bins = []
+    loads = np.zeros((0, 4), dtype=np.int64)
+    for m in order:
+        need = mol_needs[m]
+        fits = np.all(loads + need <= cap, axis=1)        # vectorized FFD
+        hit = np.argmax(fits) if fits.any() else -1
+        if hit >= 0:
+            bins[hit].append(m)
+            loads[hit] += need
+        else:
+            bins.append([m])
+            loads = np.vstack([loads, need])
+    n_node = round_up(loads[:, 0].max())
+    n_edge = round_up(loads[:, 1].max())
+    n_trip = round_up(loads[:, 2].max())
+    n_hi = round_up(loads[:, 3].max()) if want_split else 0
+    d_lo = base.n_deg_lo if want_split else 0
+    if want_split and n_hi >= n_node:
+        n_hi = d_lo = 0
+    n_graph = round_up(max(len(b) for b in bins))
+    bud = Budgets(n_node, n_edge, n_trip, base.n_deg, d_lo, n_hi,
+                  n_graph=n_graph)
+    chunks = [idx[np.asarray(b)] for b in bins]
+    budgets = [bud] * len(chunks)
+    per_bin_pairs = (n_hi * base.n_deg ** 2
+                     + (n_node - n_hi) * d_lo * d_lo
+                     if n_hi else n_node * base.n_deg ** 2)
+    stats = {
+        "real": tuple(int(x) for x in totals[:3]),
+        "padded": tuple(int(bud[d] * len(chunks)) for d in range(3)),
+        "pairs": (int(deg_sq.sum()), int(per_bin_pairs * len(chunks))),
+        "shapes": 1,
+    }
+    return chunks, budgets, stats
+
+
 def size_bucketed_plan(
     graphs: Sequence[MolGraph],
     idx,

@@ -130,14 +130,19 @@ class Trainer:
         self._feat_dtype = feat_dtype
         self.bucket_shapes = int(getattr(train_cfg, "bucket_shapes", 0))
         self.pack_budget = bool(getattr(train_cfg, "pack_budget", False))
+        self.pack_mixed = bool(getattr(train_cfg, "pack_mixed", False))
+        if self.pack_mixed:
+            # mixed FFD packing supersedes the per-class planner
+            self.bucket_shapes = 0
+            self.pack_budget = False
         if self.pack_budget and not self.bucket_shapes:
             raise ValueError("pack_budget requires bucket_shapes >= 1 "
                              "(packing fills the per-class budgets)")
-        if self.bucket_shapes and mesh is not None:
+        if (self.bucket_shapes or self.pack_mixed) and mesh is not None:
             raise ValueError(
-                "bucket_shapes (size-bucketed budgets) is single-device "
-                "only for now — mesh batch stacking needs uniform shapes "
-                "per device group; set bucket_shapes=0 or drop the mesh")
+                "bucket_shapes / pack_mixed (planned budgets) are "
+                "single-device only for now — mesh batch stacking needs "
+                "uniform shapes per device group")
         # real/padded node-edge-triplet totals per split (occupancy
         # accounting for metrics.jsonl; filled lazily at batch assembly)
         self._totals = {}
@@ -298,13 +303,17 @@ class Trainer:
         key = self._cache_key(idx)
         if self._batch_cache is not None and key in self._batch_cache:
             return iter(self._batch_cache[key])
-        if self.bucket_shapes:
+        if self.bucket_shapes or self.pack_mixed:
             from x2gnn_tpu.data.batching import (
-                pad_graphs, size_bucketed_plan)
-            chunks, chunk_budgets, stats = size_bucketed_plan(
-                self.graphs, idx, self.tcfg.batch_size,
-                self.bucket_shapes, self.budgets,
-                pack=self.pack_budget)
+                pad_graphs, mixed_packed_plan, size_bucketed_plan)
+            if self.pack_mixed:
+                chunks, chunk_budgets, stats = mixed_packed_plan(
+                    self.graphs, idx, self.tcfg.batch_size, self.budgets)
+            else:
+                chunks, chunk_budgets, stats = size_bucketed_plan(
+                    self.graphs, idx, self.tcfg.batch_size,
+                    self.bucket_shapes, self.budgets,
+                    pack=self.pack_budget)
             self._record_totals(key, idx, stats)
             self._plan_sizes[key] = len(chunks)
 
@@ -394,15 +403,22 @@ class Trainer:
         return dp_batch_iterator(batches, self.n_dev, self.mesh)
 
     def _steps_per_epoch(self) -> int:
-        if self.pack_budget:
+        if self.pack_budget or self.pack_mixed:
             # packed batches hold a variable molecule count: the true
             # steps/epoch is the plan's batch count (resume accounting)
             key = self._cache_key(self.train_idx)
             if key not in self._plan_sizes:
                 from x2gnn_tpu.data.batching import size_bucketed_plan
-                chunks, _, _ = size_bucketed_plan(
-                    self.graphs, self.train_idx, self.tcfg.batch_size,
-                    self.bucket_shapes, self.budgets, pack=True)
+                from x2gnn_tpu.data.batching import mixed_packed_plan
+                if self.pack_mixed:
+                    chunks, _, _ = mixed_packed_plan(
+                        self.graphs, self.train_idx,
+                        self.tcfg.batch_size, self.budgets)
+                else:
+                    chunks, _, _ = size_bucketed_plan(
+                        self.graphs, self.train_idx,
+                        self.tcfg.batch_size, self.bucket_shapes,
+                        self.budgets, pack=True)
                 self._plan_sizes[key] = len(chunks)
             return max(self._plan_sizes[key], 1)
         n_batches = -(-len(self.train_idx) // self.tcfg.batch_size)
@@ -426,7 +442,7 @@ class Trainer:
         # from enqueueing the next step while the current one runs
         losses, counts = [], []
         batches = self._device_batches(self.train_idx)
-        if self.bucket_shapes and self.mesh is None:
+        if (self.bucket_shapes or self.pack_mixed) and self.mesh is None:
             # size-sorted plan order is a per-epoch curriculum: visit
             # the (cached) batches in a deterministic per-epoch shuffle
             batches = self._train_shuffle(batches, epoch)
