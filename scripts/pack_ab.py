@@ -57,6 +57,13 @@ def main():
                     help="fixed-arm step budget (default: packed arm's "
                          "final step count, capped at 45k)")
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--mixed", default="runs/pack_ab_mixed",
+                    help="mixed-FFD arm workdir (reported when its "
+                         "metrics.jsonl exists)")
+    ap.add_argument("--run-mixed", action="store_true",
+                    help="launch the --pack-mixed arm (same recipe as "
+                         "the fixed arm, FFD mixed-composition packing) "
+                         "instead of the fixed arm")
     args = ap.parse_args()
 
     packed = read_metrics(os.path.join(args.packed, "metrics.jsonl"))
@@ -66,31 +73,43 @@ def main():
 
     fixed_path = os.path.join(args.workdir, "metrics.jsonl")
     if not args.report_only:
-        # fixed arm: identical flags minus bucketing/packing; epochs
-        # sized to cover the step budget (1375 steps/epoch at bs32/44k)
-        epochs = -(-target_steps // 1375)
+        if args.run_mixed:
+            # mixed arm: the fixed-arm recipe + FFD mixed packing
+            # (~1333 steps/epoch on synthq50k at fill=0.75)
+            workdir, steps_pe, extra = args.mixed, 1333, ["--pack-mixed"]
+        else:
+            # fixed arm: identical flags minus bucketing/packing
+            # (1375 steps/epoch at bs32/44k)
+            workdir, steps_pe, extra = args.workdir, 1375, []
+        epochs = -(-target_steps // steps_pe)
         cmd = [sys.executable, "train.py", "--data-npz", args.data,
-               "--workdir", args.workdir, "--config", args.config,
+               "--workdir", workdir, "--config", args.config,
                "--epochs", str(epochs), "--layout", "blocked",
                "--standardize", "--atomref-fit", "--scheduler", "plateau",
                "--cache-batches", "on", "--feat-dtype", "float16",
                "--ckpt-every", "5", "--auto-resume",
-               "--ckpt-after-epoch", "0"]
-        print("launching fixed arm:", " ".join(cmd), file=sys.stderr)
+               "--ckpt-after-epoch", "0"] + extra
+        print("launching arm:", " ".join(cmd), file=sys.stderr)
         rc = subprocess.call(cmd)
         if rc != 0:
             sys.exit(rc)
 
     fixed = read_metrics(fixed_path)
+    mixed_path = os.path.join(args.mixed, "metrics.jsonl")
+    mixed = read_metrics(mixed_path) if os.path.exists(mixed_path) else []
     rows = []
     for frac in (0.25, 0.5, 0.75, 1.0):
         s = int(target_steps * frac)
-        rows.append({"steps": s,
-                     "packed_best_val": val_at_steps(packed, s),
-                     "fixed_best_val": val_at_steps(fixed, s)})
+        row = {"steps": s,
+               "packed_best_val": val_at_steps(packed, s),
+               "fixed_best_val": val_at_steps(fixed, s)}
+        if mixed:
+            row["mixed_best_val"] = val_at_steps(mixed, s)
+        rows.append(row)
     out = {"target_steps": target_steps, "rows": rows,
            "packed_steps_per_epoch": packed[0]["step"],
-           "fixed_steps_per_epoch": fixed[0]["step"] if fixed else None}
+           "fixed_steps_per_epoch": fixed[0]["step"] if fixed else None,
+           "mixed_steps_per_epoch": mixed[0]["step"] if mixed else None}
     with open(os.path.join(args.workdir, "ab_summary.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -367,9 +367,10 @@ def mixed_packed_plan(
     binding dimension and a single executable.
 
     Returns (chunks, budgets, stats) like size_bucketed_plan. The bin
-    assignment is deterministic in (idx order, seed); `seed` shuffles
-    the FFD scan order of equal-size molecules only via a stable
-    pre-permutation, keeping budgets reproducible.
+    assignment is deterministic in idx order (stable argsort on triplet
+    need); `seed` is reserved for a future scan-order permutation and is
+    currently unused — per-epoch diversity comes from the trainer's
+    batch-order shuffle, not from re-planning.
     """
     idx = np.asarray(idx)
     n_mols = len(idx)
