@@ -32,10 +32,11 @@ import time
 
 
 def _make_one(args):
-    index, seed, mean_atoms, featurize = args
+    index, seed, mean_atoms, featurize, basis, gap_label = args
     from x2gnn_tpu.data.synthetic import synthetic_labeled_graph
     return synthetic_labeled_graph(index, seed=seed, mean_atoms=mean_atoms,
-                                   featurize=featurize)
+                                   featurize=featurize, basis=basis,
+                                   gap_label=gap_label)
 
 
 def main():
@@ -47,6 +48,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=2000)
     ap.add_argument("--cache-dir", default="./processed")
     ap.add_argument("--workers", type=int, default=os.cpu_count())
+    ap.add_argument("--basis", default="x2sv", choices=["x2sv", "6311"],
+                    help="integral basis: project stand-in or the "
+                         "embedded published 6-311+G(3df,2p) (scf.py:31)")
+    ap.add_argument("--gap-label", action="store_true",
+                    help="store y=(2,)=[IP energy Hartree, HOMO-LUMO gap "
+                         "eV] instead of energy alone (intensive-target "
+                         "training, train_ema.py:41-44)")
     ap.add_argument("--geometry-only", action="store_true",
                     help="skip integral featurization: identical graph "
                          "STRUCTURE per index (same rng stream), zero "
@@ -70,6 +78,13 @@ def main():
         print(f"{final} already exists", file=sys.stderr)
         return
 
+    if args.geometry_only:
+        basis_tag = "geometry-only"
+    elif args.basis == "6311":
+        basis_tag = "6-311+g(3df,2p)-native"   # featurize.BACKEND_BASIS
+    else:
+        basis_tag = "x2sv"
+
     from multiprocessing import Pool
     chunk_paths = []
     t_start = time.time()
@@ -84,11 +99,10 @@ def main():
                 continue
             t0 = time.time()
             jobs = [(i, args.seed, args.mean_atoms,
-                     not args.geometry_only) for i in range(lo, hi)]
+                     not args.geometry_only, args.basis, args.gap_label)
+                    for i in range(lo, hi)]
             gs = pool.map(_make_one, jobs, chunksize=16)
-            save_graph_cache(part, gs,
-                             basis="geometry-only" if args.geometry_only
-                             else "x2sv")
+            save_graph_cache(part, gs, basis=basis_tag)
             done = hi
             rate = args.chunk / max(time.time() - t0, 1e-9)
             print(f"chunk {lo}: {hi - lo} molecules in "
@@ -98,9 +112,7 @@ def main():
     all_graphs = []
     for part in chunk_paths:
         all_graphs.extend(load_graph_cache(part))
-    save_graph_cache(final, all_graphs,
-                     basis="geometry-only" if args.geometry_only
-                     else "x2sv")
+    save_graph_cache(final, all_graphs, basis=basis_tag)
     print(f"wrote {final} ({len(all_graphs)} graphs) in "
           f"{(time.time() - t_start) / 60:.0f} min total", file=sys.stderr)
     for part in chunk_paths:

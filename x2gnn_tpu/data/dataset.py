@@ -166,4 +166,13 @@ def prepare_targets(graphs: Sequence[MolGraph], target: int) -> np.ndarray:
     labels = np.stack([g.y for g in graphs])
     if labels.shape[1] == 1:
         return labels[:, 0].astype(np.float32)
+    if labels.shape[1] == 2:
+        # synthetic [IP energy Hartree, HOMO-LUMO gap eV] pair
+        # (synthetic.synthetic_labeled_graph gap_label=True): extensive
+        # QM9 target ids train the energy, intensive ids the gap —
+        # preserving the reference's target->model-family dispatch
+        # (train_ema.py:41-44) without pretending 12 QM9 properties.
+        from x2gnn_tpu.data.molecule import EXTENSIVE_TARGETS
+        col = 0 if target in EXTENSIVE_TARGETS else 1
+        return labels[:, col].astype(np.float32)
     return atomization_target(numbers, labels, target).astype(np.float32)

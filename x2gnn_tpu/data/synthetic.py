@@ -61,6 +61,30 @@ def independent_particle_energy(
     """
     import scipy.linalg as sla
 
+    return independent_particle_labels(numbers, positions, S,
+                                       H_over_nelec)[0]
+
+
+HARTREE_TO_EV = 27.211386245988
+
+
+def independent_particle_labels(
+    numbers: np.ndarray,
+    positions: np.ndarray,
+    S: np.ndarray,
+    H_over_nelec: np.ndarray,
+) -> "tuple[float, float]":
+    """(total energy [Hartree], HOMO-LUMO-style gap [eV]) from one
+    generalized eigensolve of (Hcore, S).
+
+    The gap is the intensive companion label to the extensive energy
+    (reference intensive targets 0-5 dispatch to the global/MolWise
+    model, train_ema.py:41-44; QM9 target 4 is exactly this gap). For
+    odd electron counts the singly-occupied level is HOMO and the next
+    level up is LUMO.
+    """
+    import scipy.linalg as sla
+
     nelec = int(np.asarray(numbers).sum())
     H = np.asarray(H_over_nelec) * max(nelec, 1)
     s_val, s_vec = np.linalg.eigh(np.asarray(S))
@@ -69,13 +93,15 @@ def independent_particle_energy(
     eps = sla.eigh(X.T @ H @ X, eigvals_only=True)
     nocc, odd = divmod(nelec, 2)
     e_el = 2.0 * eps[:nocc].sum() + (eps[nocc] if odd else 0.0)
+    homo = nocc if odd else nocc - 1          # highest (partly) occupied
+    gap_ev = float(eps[homo + 1] - eps[homo]) * HARTREE_TO_EV
     pos_bohr = np.asarray(positions, np.float64) * 1.8897259886
     z = np.asarray(numbers, np.float64)
     diff = pos_bohr[:, None, :] - pos_bohr[None, :, :]
     r = np.sqrt((diff ** 2).sum(-1))
     iu = np.triu_indices(len(z), k=1)
     e_nn = (z[iu[0]] * z[iu[1]] / r[iu]).sum()
-    return float(e_el + e_nn)
+    return float(e_el + e_nn), gap_ev
 
 
 def synthetic_labeled_graph(
@@ -86,6 +112,8 @@ def synthetic_labeled_graph(
     max_atoms: int = 26,
     cutoff: float = 5.0,
     featurize: bool = True,
+    basis: str = "x2sv",
+    gap_label: bool = False,
 ) -> MolGraph:
     """One deterministic synthetic molecule with NATIVE integral edge
     features and the independent-particle energy label.
@@ -94,9 +122,18 @@ def synthetic_labeled_graph(
     (chunked featurization can restart anywhere). Heterogeneous sizes
     (normal around `mean_atoms`, clipped) give QM9-like batch-occupancy
     statistics for the bucketed-budget training path.
+
+    `basis` selects the integral basis ('x2sv' stand-in or '6311' = the
+    embedded published 6-311+G(3df,2p), the exact basis the reference
+    requests, scf.py:31). The geometry rng stream is independent of
+    `basis`/`gap_label`, so geometry-only stand-ins pre-warm compiled
+    shapes for any featurized variant. With gap_label=True, y is
+    (2,) = [IP energy Hartree, HOMO-LUMO gap eV] — extensive +
+    intensive companion labels (train_ema.py:41-44 dispatch).
     """
     from x2gnn_tpu.data.featurize import EDGE_FEAT_DIM, sa_compress
     from x2gnn_tpu.data.integrals import one_electron_matrices
+    from x2gnn_tpu.data.integrals.basis import get_basis
 
     rng = np.random.default_rng([seed, index])
     n = int(np.clip(round(rng.normal(mean_atoms, 4.0)),
@@ -110,9 +147,12 @@ def synthetic_labeled_graph(
         # used to pre-compile training executables before the featurized
         # dataset finishes building
         return g
-    S, H_n, ao = one_electron_matrices(numbers, pos)
+    S, H_n, ao = one_electron_matrices(
+        numbers, pos, basis=get_basis("6-311+g(3df,2p)" if basis == "6311"
+                                      else basis))
     g.edge_feat[:] = sa_compress(S, H_n, ao, g.edge_index)
-    g.y = np.array([independent_particle_energy(numbers, pos, S, H_n)],
+    energy, gap = independent_particle_labels(numbers, pos, S, H_n)
+    g.y = np.array([energy, gap] if gap_label else [energy],
                    dtype=np.float64)
     return g
 
