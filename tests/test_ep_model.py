@@ -242,3 +242,80 @@ def test_trainer_accepts_dropout_with_edge_partition(tmp_path):
                  edge_partition="allgather")
     state, summary = tr.fit(epochs=1)
     assert np.isfinite(summary["best_val_mae"])
+
+
+# ---------------------------------------------------------------------------
+# round-4: the fused Pallas kernel composed into the EP forward
+# (interpret mode on CPU; each shard runs the kernel on its local tables)
+# ---------------------------------------------------------------------------
+
+def test_ep_pallas_forward_matches_model():
+    """EP forward with cfg.use_pallas=True (fused kernel per shard,
+    interpret mode on CPU) == the unsharded flax model."""
+    cfg, model, params, batch, epb, epbs, mesh = _setup(use_pallas=True)
+    ref = np.asarray(model.apply(params, batch))
+    fwd = make_ep_forward(cfg, mesh, epb.numbers.shape[0])
+    got = np.asarray(fwd(params, epbs))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_ep_pallas_gradients_match():
+    """Parameter gradients through the kernel's custom VJP inside the
+    shard_map match the flax model's."""
+    cfg, model, params, batch, epb, epbs, mesh = _setup(use_pallas=True)
+    fwd = make_ep_forward(cfg, mesh, epb.numbers.shape[0])
+    gm, y = jnp.asarray(batch.graph_mask), jnp.asarray(batch.y)
+
+    def loss_ref(p):
+        return jnp.where(gm, (model.apply(p, batch) - y) ** 2, 0.0).sum()
+
+    def loss_ep(p):
+        return jnp.where(gm, (fwd(p, epbs) - y) ** 2, 0.0).sum()
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_ep = jax.grad(loss_ep)(params)
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_ep = jax.tree_util.tree_leaves(g_ep)
+    for (path, a), b in zip(flat_ref, flat_ep):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_ep_pallas_remat_ring_gradients_match():
+    """remat + ring K/V exchange + the Pallas kernel compose: gradients
+    match the non-remat XLA-core EP forward (the kernel's custom VJP
+    takes every traced operand explicitly, so jax.checkpoint re-traces
+    cleanly)."""
+    cfg, model, params, batch, epb, epbs, mesh = _setup(use_pallas=True)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    N = epb.numbers.shape[0]
+    gm, y = jnp.asarray(batch.graph_mask), jnp.asarray(batch.y)
+
+    def loss(fwd):
+        return lambda p: jnp.where(gm, (fwd(p, epbs) - y) ** 2, 0.0).sum()
+
+    g0 = jax.grad(loss(make_ep_forward(cfg_x, mesh, N, "allgather")))(
+        params)
+    g1 = jax.grad(loss(make_ep_forward(cfg_r, mesh, N, "ring")))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_ep_pallas_dropout_matches_xla_branch():
+    """With one key, the Pallas and XLA EP branches draw the SAME
+    per-shard pair keep-mask (pair_dropout_mask stream), so their dropout
+    forwards agree — dropout training keeps the fused path on >1 chip."""
+    cfg, model, params, batch, epb, epbs, mesh = _setup(
+        use_pallas=True, dropout=0.35)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    n_pad = epb.numbers.shape[0]
+    key = jax.random.PRNGKey(9)
+    fwd_p = make_ep_forward(cfg, mesh, n_pad, with_dropout=True)
+    fwd_x = make_ep_forward(cfg_x, mesh, n_pad, with_dropout=True)
+    a = np.asarray(fwd_p(params, epbs, key))
+    b = np.asarray(fwd_x(params, epbs, key))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

@@ -189,3 +189,33 @@ def test_hybrid_dropout_train_step():
         state, loss = step(state, sharded)
         assert np.isfinite(float(loss))
     assert int(state.step) == 3
+
+
+def test_hybrid_pallas_forward_and_grads_match():
+    """Round-4: the fused Pallas kernel runs inside each (dp, ep) chip's
+    shard (interpret on CPU) — per-group predictions and parameter
+    gradients match the unsharded flax model."""
+    cfg, model, params, batches, stacked, sharded, mesh, N = _setup(
+        use_pallas=True)
+    fwd = make_hybrid_forward(cfg, mesh, N, kv_exchange="ring")
+    got = np.asarray(fwd(params, sharded))
+    for i, b in enumerate(batches):
+        ref = np.asarray(model.apply(params, b))
+        np.testing.assert_allclose(got[i], ref, rtol=2e-5, atol=2e-6)
+
+    gm = jnp.asarray(stacked.graph_mask.reshape(-1))
+    y = jnp.asarray(stacked.y.reshape(-1))
+
+    def loss_h(p):
+        return smooth_l1_loss(fwd(p, sharded).reshape(-1), y, mask=gm)
+
+    def loss_ref(p):
+        preds = jnp.concatenate([model.apply(p, b) for b in batches])
+        return smooth_l1_loss(preds, y, mask=gm)
+
+    g_h = jax.tree_util.tree_leaves(jax.grad(loss_h)(params))
+    g_r = jax.tree_util.tree_flatten_with_path(jax.grad(loss_ref)(params))
+    for (path, a), b in zip(g_r[0], g_h):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")

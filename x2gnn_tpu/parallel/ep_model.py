@@ -297,13 +297,33 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
 
     jk = pos_g[epb.out_dst_blk] - own                    # (Nl, D, 3)
     cos_a = jnp.einsum("nid,nkd->nik", ji, jk)
-    cross = jnp.cross(ji[:, :, None, :], jk[:, None, :, :])
-    sin_a = jnp.sqrt(jnp.maximum((cross ** 2).sum(-1), 1e-24))
-    theta = jnp.arctan2(sin_a, cos_a)
-    cbf = legendre_cos_harmonics(theta, L)               # (Nl, D, D, L)
-    pair_mask = (in_mask[:, :, None] & epb.out_mask[:, None, :]
-                 & (epb.edge_src_blk[:, :, None]
-                    != epb.out_dst_blk[:, None, :]))
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused-kernel operands (round-4: the Pallas kernel composes with
+        # the EP/hybrid shard_map — each shard runs it on its local
+        # (Nl, D, HC) tables, so multi-chip training keeps the
+        # single-chip kernel speedup; exchange stays outside). The
+        # kernel computes the Legendre harmonics in-register from
+        # cos(theta) and derives pair validity from masked atom-id
+        # tables — matching models/x2gnn.py's blocked path exactly.
+        d_out = jnp.sqrt(jnp.maximum((jk * jk).sum(-1), 1e-24))
+        norm = jnp.maximum(d[:, :, None] * d_out[:, None, :], 1e-12)
+        z_cos = jnp.clip(cos_a / norm, -1.0, 1.0)
+        a_ids = jnp.where(in_mask, epb.edge_src_blk, -1).astype(jnp.int32)
+        b_ids = jnp.where(epb.out_mask, epb.out_dst_blk, -2).astype(
+            jnp.int32)
+        cbf = pair_mask = None
+    else:
+        cross = jnp.cross(ji[:, :, None, :], jk[:, None, :, :])
+        sin_a = jnp.sqrt(jnp.maximum((cross ** 2).sum(-1), 1e-24))
+        theta = jnp.arctan2(sin_a, cos_a)
+        cbf = legendre_cos_harmonics(theta, L)           # (Nl, D, D, L)
+        z_cos = a_ids = b_ids = None
+        pair_mask = (in_mask[:, :, None] & epb.out_mask[:, None, :]
+                     & (epb.edge_src_blk[:, :, None]
+                        != epb.out_dst_blk[:, None, :]))
 
     def run_readout(i, x_blk):
         rp = p[f"readout_{i}"]
@@ -360,32 +380,49 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
             k_out = k_g.reshape(-1, HC)[epb.out2in]      # (Nl, D, HC)
             v_out = v_g.reshape(-1, HC)[epb.out2in]
             rbf_out = r_g.reshape(-1, L * K)[epb.out2in]
-        w_sbf = cp["lin_sbf"]["kernel"].reshape(L, K, HC)
-        b_sbf = cp["lin_sbf"]["bias"].reshape(H, C)
-        G_out = jnp.einsum("nelk,lkf->nelf",
-                           rbf_out.reshape(Nl, D, L, K), w_sbf)
-        q4 = q.reshape(Nl, D, H, C)
-        k4 = (k_out + ea[:, None]).reshape(Nl, D, H, C)
-        v4 = (v_out + ea[:, None]).reshape(Nl, D, H, C)
-        scores = jnp.einsum("nihc,nkhc->nikh", q4, k4) / jnp.sqrt(float(C))
-        neg = -1e30
-        scores = jnp.where(pair_mask[..., None], scores, neg)
-        smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), neg / 2)
-        ex = jnp.exp(scores - smax)
-        ex = jnp.where(pair_mask[..., None], ex, 0.0)
-        denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-        alpha = ex / denom                               # (Nl, Di, Dk, H)
+        drop_mask = None
         if axis_key is not None:
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(axis_key, i), 1.0 - cfg.dropout,
-                (Nl, D, D, H))
-            alpha = alpha * keep / (1.0 - cfg.dropout)
-        out = jnp.einsum("nikh,nkhc->nihc", alpha, v4) * b_sbf
-        G5 = G_out.reshape(Nl, D, L, H, C)
-        for l in range(L):
-            wl = alpha * cbf[..., l][..., None]
-            out = out + jnp.einsum("nikh,nkhc->nihc", wl, v4 * G5[:, :, l])
-        out = out.reshape(Nl, D, HC)
+            # same bernoulli draw both branches (pair_dropout_mask =
+            # keep/(1-p) pre-scaled) — per-shard, per-layer key
+            from x2gnn_tpu.ops.attention import pair_dropout_mask
+            drop_mask = pair_dropout_mask(
+                jax.random.fold_in(axis_key, i), cfg.dropout, Nl, D, H)
+        if use_pallas:
+            from x2gnn_tpu.ops.pallas import (
+                expand_block_diagonal, pallas_blocked_attention)
+            w_bd = expand_block_diagonal(cp["lin_sbf"]["kernel"], L, K, HC)
+            bias = cp["lin_sbf"]["bias"].reshape(1, HC)
+            out = pallas_blocked_attention(
+                q, k_out, v_out, ea, rbf_out, w_bd, bias,
+                z_cos, a_ids, b_ids, heads=H, num_radial=K,
+                dropout_mask=drop_mask)                  # (Nl, D, HC)
+        else:
+            w_sbf = cp["lin_sbf"]["kernel"].reshape(L, K, HC)
+            b_sbf = cp["lin_sbf"]["bias"].reshape(H, C)
+            G_out = jnp.einsum("nelk,lkf->nelf",
+                               rbf_out.reshape(Nl, D, L, K), w_sbf)
+            q4 = q.reshape(Nl, D, H, C)
+            k4 = (k_out + ea[:, None]).reshape(Nl, D, H, C)
+            v4 = (v_out + ea[:, None]).reshape(Nl, D, H, C)
+            scores = jnp.einsum("nihc,nkhc->nikh", q4, k4) / jnp.sqrt(
+                float(C))
+            neg = -1e30
+            scores = jnp.where(pair_mask[..., None], scores, neg)
+            smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True),
+                               neg / 2)
+            ex = jnp.exp(scores - smax)
+            ex = jnp.where(pair_mask[..., None], ex, 0.0)
+            denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+            alpha = ex / denom                           # (Nl, Di, Dk, H)
+            if drop_mask is not None:
+                alpha = alpha * drop_mask
+            out = jnp.einsum("nikh,nkhc->nihc", alpha, v4) * b_sbf
+            G5 = G_out.reshape(Nl, D, L, H, C)
+            for l in range(L):
+                wl = alpha * cbf[..., l][..., None]
+                out = out + jnp.einsum("nikh,nkhc->nihc", wl,
+                                       v4 * G5[:, :, l])
+            out = out.reshape(Nl, D, HC)
         skip = _lin(cp["lin_skip"], x_blk)
         if cfg.beta:
             # beta-gated skip — purely row-local, so no extra
