@@ -67,9 +67,10 @@ def main():
         "epoch1_s": recs[0]["seconds"],     # includes compile
         "epoch2_s": recs[1]["seconds"],     # steady-state prefetch rate
         "ms_per_step_prefetch": 1e3 * recs[1]["seconds"] / steps,
-        # 50k flagship device-cached steady state for comparison:
-        # ~16.5 s / 1220 packed steps = 13.5 ms/step
-        "ms_per_step_cached_50k_flagship": 13.5,
+        # comparison constant measured by the round-3 50k flagship run
+        # (runs/flagship_r3 metrics: ~16.5 s / 1220 packed device-cached
+        # steps), NOT by this script — key named to flag provenance
+        "cached_50k_flagship_ms_per_step_prior_run": 13.5,
     }
     print(json.dumps(out))
 
