@@ -195,6 +195,7 @@ def test_dropout_equivalence_segment_vs_blocked(make_molecule, rng):
                         dropout=0.4, attention_layout="segment")
     cfg_b = dataclasses.replace(cfg_s, attention_layout="blocked",
                                 use_pallas=False)
+    cfg_p = dataclasses.replace(cfg_s, attention_layout="padded")
     graphs = []
     for i in range(3):
         numbers, pos = make_molecule(n_atoms=5 + i)
@@ -211,9 +212,15 @@ def test_dropout_equivalence_segment_vs_blocked(make_molecule, rng):
                           rngs={"dropout": key})
     out_b = model_b.apply(params, batch, deterministic=False,
                           rngs={"dropout": key})
+    # round-4: padded layout joins the matched pair-space dropout
+    out_p = X2GNN(cfg_p).apply(params, batch, deterministic=False,
+                               rngs={"dropout": key})
     keep = np.asarray(batch.graph_mask).astype(bool)
     np.testing.assert_allclose(np.asarray(out_s)[keep],
                                np.asarray(out_b)[keep],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_p)[keep],
+                               np.asarray(out_s)[keep],
                                rtol=2e-4, atol=2e-4)
     # dropout actually does something: a different key changes the output
     out_s2 = model_s.apply(params, batch, deterministic=False,

@@ -47,11 +47,6 @@ class X2GNN(nn.Module):
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         cfg = self.config
         drop_active = cfg.dropout > 0 and not deterministic
-        if drop_active and cfg.attention_layout == "padded":
-            raise NotImplementedError(
-                "attention dropout is implemented for the segment and "
-                "blocked layouts (matched pair-space masks); the padded "
-                "layout has no dropout path — use 'blocked' or 'segment'")
         num_atoms = batch.numbers.shape[0]
         num_graphs = batch.y.shape[0]
 
@@ -272,10 +267,12 @@ class X2GNN(nn.Module):
                     name=f"conv_{i}")
 
                 drop_pair_pos = drop_space = None
-                if drop_active and cfg.attention_layout == "segment":
+                if drop_active:
                     # canonical pair-space dropout coordinates so the
-                    # segment and blocked layouts drop the SAME weights
-                    # under one rng (ops.attention.pair_dropout_mask)
+                    # segment, padded AND blocked layouts drop the SAME
+                    # weights under one rng (pair_dropout_mask; the
+                    # padded conv gathers per neighbor slot via
+                    # nbr_trip)
                     from x2gnn_tpu.ops.attention import (
                         triplet_pair_positions)
                     drop_space = batch.in_edges.shape

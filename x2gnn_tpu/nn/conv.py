@@ -112,22 +112,37 @@ class EdgeAttentionConv(nn.Module):
         e = eattr.reshape(-1, H, C)
         s = sbf_proj.reshape(-1, H, C)
 
-        if (self.dropout > 0.0 and not deterministic
-                and (self.layout != "segment"
-                     or self.attention_fn is not None)):
+        drop_active = self.dropout > 0.0 and not deterministic
+        if drop_active and self.attention_fn is not None:
             raise NotImplementedError(
-                "attention dropout is implemented for the segment layout "
-                "only (the reference applies it to the segment-softmax "
-                "weights, sbftransformer_conv.py:153); train with "
-                "attention_layout='segment' or dropout=0")
+                "attention dropout with a custom attention_fn override "
+                "is unsupported (the override signature carries no rng); "
+                "use a built-in layout or dropout=0")
         weights = None
         if self.attention_fn is not None:
             out = self.attention_fn(q, k, v, e, s, trip_src, trip_dst,
                                     trip_mask, num_edges)
         elif self.layout == "padded":
             assert nbr_trip is not None, "padded layout needs nbr_* arrays"
+            drop_slots = None
+            if drop_active:
+                if drop_pair_pos is not None:
+                    # canonical pair-space mask gathered per neighbor
+                    # slot (via each slot's triplet id) — identical
+                    # weights dropped as segment/blocked under one rng
+                    N_, D_ = drop_space
+                    mask = pair_dropout_mask(
+                        self.make_rng("dropout"), self.dropout, N_, D_, H)
+                    drop_slots = mask.reshape(-1, H)[drop_pair_pos][
+                        nbr_trip]                        # (E, D, H)
+                else:
+                    # standalone use without blocked tables: iid draw
+                    keep = 1.0 - self.dropout
+                    drop_slots = jax.random.bernoulli(
+                        self.make_rng("dropout"), keep,
+                        nbr_trip.shape + (H,)).astype(jnp.float32) / keep
             out = padded_attention(q, k, v, e, s, nbr_trip, nbr_src,
-                                   nbr_mask)
+                                   nbr_mask, dropout_mask=drop_slots)
         else:
             q_i = q[trip_dst]                       # (T, H, C)
             k_j = k[trip_src] + e
@@ -140,7 +155,6 @@ class EdgeAttentionConv(nn.Module):
                     # canonical pair-space mask (identical across layouts
                     # under one rng; see ops.attention.pair_dropout_mask).
                     # drop_space = (N, D) of the blocked tables.
-                    from x2gnn_tpu.ops.attention import pair_dropout_mask
                     N_, D_ = drop_space
                     mask = pair_dropout_mask(
                         self.make_rng("dropout"), self.dropout, N_, D_, H)

@@ -168,11 +168,17 @@ def blocked_attention(q, k, v, e_atom, G, s_bias, cbf,
     return out.reshape(N * D, H, C)[edge_inpos]
 
 
-def padded_attention(q, k, v, e, s, nbr_trip, nbr_src, nbr_mask):
+def padded_attention(q, k, v, e, s, nbr_trip, nbr_src, nbr_mask,
+                     dropout_mask=None):
     """Dense neighbor-table attention.
 
     q/k/v: (E, H, C); e/s: (T, H, C); nbr_trip/nbr_src/nbr_mask: (E, D).
     Returns (E, H, C). Rows with no real neighbors yield 0.
+    dropout_mask: optional (E, D, H) keep mask pre-scaled by 1/keep,
+    applied to the softmax weights after normalization
+    (sbftransformer_conv.py:153) — gather it from the canonical pair
+    space via `pair_dropout_mask(...)[drop_pair_pos][nbr_trip]` so all
+    layouts drop identical weights under one rng.
     """
     C = q.shape[-1]
     k_n = k[nbr_src] + e[nbr_trip]                        # (E, D, H, C)
@@ -186,6 +192,8 @@ def padded_attention(q, k, v, e, s, nbr_trip, nbr_src, nbr_mask):
     ex = jnp.where(nbr_mask[..., None], ex, 0.0)
     denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
     w = ex / denom                                        # (E, D, H)
+    if dropout_mask is not None:
+        w = w * dropout_mask
     msg = v_n * s_n * w[..., None]                        # (E, D, H, C)
     return msg.sum(axis=1)
 
