@@ -58,12 +58,20 @@ def main():
     opt = make_optimizer(tcfg)
 
     def time_step(step, state, batch, iters):
-        state, loss = step(state, batch)          # compile + warm
-        jax.block_until_ready(loss)
+        # TWO warmup calls: a donated step compiles a SECOND executable
+        # on its first call with donated-aliased input buffers — timing
+        # from the first warm call catches that compile (~25 s) inside
+        # the loop and inflates ms/step ~100x (observed round-4).
+        # Block on the full STATE tree: on the remote-attached backend
+        # block_until_ready(loss) returns when the loss output streams
+        # back, which is BEFORE the parameter updates finish.
+        state, loss = step(state, batch)
+        state, loss = step(state, batch)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
         t0 = time.perf_counter()
         for _ in range(iters):
             state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
         return (time.perf_counter() - t0) / iters * 1e3, state
 
     results = {}

@@ -14,18 +14,29 @@ every per-edge activation is stored in the *blocked in-table layout*
 edge occupies exactly one in-slot, so this is a (padded) edge layout that
 is automatically co-partitioned with the attention's destination rows:
 
-  * attention (scores, softmax, aggregation) is fully local per atom row;
-  * K/V/rbf rows live on their destination atom's device and are
-    all-gathered once per layer, then re-indexed with the precomputed
-    `out2in` table (out-slot -> global in-slot) — the baseline exchange;
-    boundary-only / ppermute-overlapped exchange is `ep_ring.py`;
+  * attention (scores, softmax, aggregation) is fully local per atom row
+    and runs the fused Pallas kernel per shard (cfg.use_pallas);
+  * K/V/rbf rows live on their destination atom's device and move through
+    ONE exchange per layer — a custom-VJP gather through the `out2in`
+    table whose BACKWARD gathers through the inverse `in2out` table
+    (real in-/out-slots are in bijection), so no XLA scatter exists in
+    either pass; 'allgather' assembles the full table per device, 'ring'
+    rotates shards with ppermute (ring-attention memory profile);
   * per-edge dense layers, residuals, and LayerNorm are local (LayerNorm
-    graph statistics are psum'ed — a graph may span every device);
-  * readouts scatter edges into their SOURCE atoms (readout.py:37), which
-    may live on other shards: local partial sums over the global atom
-    axis are `psum_scatter`ed so each device receives exactly its own
-    atoms' totals (the "reduce-scattered readout");
-  * molecule pooling and the loss are tiny and replicated via psum.
+    graph statistics are one-hot matmuls psum'ed over the mesh — a graph
+    may span every device);
+  * readouts aggregate edges into their SOURCE atoms (readout.py:37) by
+    the same exchange into the out-table (rows = source atoms) + a dense
+    degree-axis sum — the single-chip blocked path's scatter-free
+    aggregation, distributed;
+  * molecule pooling and the loss are tiny one-hot matmuls replicated
+    via psum.
+
+Round-4 note: the first EP-on-TPU measurement caught the previous
+design (segment_sum scatters + gather-transpose scatters in backward)
+at ~100x the single-chip blocked step cost — XLA lowers irregular
+scatters serially on TPU. Everything irregular is now a gather with a
+gather backward, or a one-hot matmul.
 
 The parameter tree is IDENTICAL to X2GNN's (init with the flax model,
 apply with either) — equivalence is tested in tests/test_ep_model.py.
@@ -72,6 +83,10 @@ class EPBatch:
     out_mask: np.ndarray       # (N, D) bool
     out2in: np.ndarray         # (N, D) int32 flat global in-slot of each
                                # out-slot's edge (K/V re-indexing table)
+    in2out: np.ndarray         # (N, D) int32 flat global OUT-slot of each
+                               # in-slot's edge (the inverse table — the
+                               # exchange's backward gathers through it,
+                               # so no scatter appears in either pass)
     y: np.ndarray              # (G,)
     graph_mask: np.ndarray     # (G,) bool
 
@@ -95,10 +110,16 @@ def make_ep_batch(batch: GraphBatch, n_dev: int) -> EPBatch:
     out_mask = padN(b.out_mask)
     edge_src_blk = np.where(in_mask, b.edge_src[in_edges], 0).astype(np.int32)
     edge_gid_blk = np.where(in_mask, b.edge_gid[in_edges], 0).astype(np.int32)
-    feat_blk = np.where(in_mask[..., None], b.edge_feat[in_edges], 0.0)
+    # preserve an fp16 feature wire (halves the dominant transfer/cache
+    # bytes, trainer --feat-dtype float16); anything else rides as f32
+    feat_dtype = (np.float16 if b.edge_feat.dtype == np.float16
+                  else np.float32)
+    feat_blk = np.where(in_mask[..., None], b.edge_feat[in_edges],
+                        np.zeros((), b.edge_feat.dtype))
     out_dst_blk = np.where(out_mask, b.edge_dst[out_edges], 0).astype(
         np.int32)
     out2in = np.where(out_mask, b.edge_inpos[out_edges], 0).astype(np.int32)
+    in2out = np.where(in_mask, b.edge_outpos[in_edges], 0).astype(np.int32)
     return EPBatch(
         numbers=padN(b.numbers),
         positions=padN(b.positions.astype(np.float32)),
@@ -106,8 +127,9 @@ def make_ep_batch(batch: GraphBatch, n_dev: int) -> EPBatch:
         atom_gid=padN(b.atom_gid),
         node_mask=padN(b.node_mask, fill=False),
         edge_src_blk=edge_src_blk, edge_gid_blk=edge_gid_blk,
-        in_mask=in_mask, feat_blk=feat_blk.astype(np.float32),
+        in_mask=in_mask, feat_blk=feat_blk.astype(feat_dtype),
         out_dst_blk=out_dst_blk, out_mask=out_mask, out2in=out2in,
+        in2out=in2out,
         y=np.asarray(b.y, np.float32), graph_mask=np.asarray(b.graph_mask),
     )
 
@@ -153,6 +175,17 @@ def _mlp(p, x, depth: int):
     return _lin(p["mlp_out"], x)
 
 
+def _onehot_segment_sum(x, gid, num_segments: int):
+    """Scatter-free segment sum for SMALL segment counts (graphs, atom
+    types): a one-hot matmul that XLA tiles onto the MXU instead of the
+    serial scatter the default segment_sum lowers to on TPU (measured
+    ~100x step cost in the round-4 EP-on-TPU bench). x: (R,) or (R, C)."""
+    onehot = jax.nn.one_hot(gid, num_segments, dtype=jnp.float32)  # (R, G)
+    if x.ndim == 1:
+        return onehot.T @ x.astype(jnp.float32)
+    return onehot.T @ x.astype(jnp.float32)
+
+
 @jax.custom_vjp
 def _freq_lookup_psum(tbl, idx):
     return tbl[idx]
@@ -164,10 +197,10 @@ def _freq_lookup_fwd(tbl, idx):
 
 def _freq_lookup_bwd(res, g):
     idx, tbl_shape = res
-    counts = jnp.zeros(tbl_shape[0], g.dtype).at[idx].add(1.0)
-    counts = jax.lax.psum(counts, AXIS)
+    onehot = jax.nn.one_hot(idx, tbl_shape[0], dtype=g.dtype)   # (Nl, Z)
+    counts = jax.lax.psum(onehot.sum(0), AXIS)
     scale = 1.0 / jnp.maximum(counts[idx], 1.0)
-    dtbl = jnp.zeros(tbl_shape, g.dtype).at[idx].add(g * scale[:, None])
+    dtbl = onehot.T @ (g * scale[:, None])
     return dtbl, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
 
 
@@ -187,66 +220,93 @@ def _embedding_block(p, numbers, max_norm: float = 3.0):
 def _graph_layer_norm(x, gid, mask, num_graphs: int, eps: float = 1e-8):
     """PyG graph-mode LayerNorm with statistics psum'ed over the mesh
     (a molecule's edges may live on several devices). x: (R, C) local
-    rows; gid/mask: (R,)."""
+    rows; gid/mask: (R,). Per-graph statistics are one-hot matmuls, not
+    scatters (see _onehot_segment_sum)."""
     feat = x.shape[-1]
     xm = jnp.where(mask[:, None], x, 0.0)
-    count = jax.ops.segment_sum(
-        mask.astype(x.dtype), gid, num_segments=num_graphs)
+    count = _onehot_segment_sum(mask.astype(x.dtype), gid, num_graphs)
     count = jnp.maximum(jax.lax.psum(count, AXIS) * feat, 1.0)
-    total = jax.ops.segment_sum(xm.sum(-1), gid, num_segments=num_graphs)
+    total = _onehot_segment_sum(xm.sum(-1), gid, num_graphs)
     mean = jax.lax.psum(total, AXIS) / count
     centered = x - mean[gid][:, None]
     cm = jnp.where(mask[:, None], centered, 0.0)
-    sq = jax.ops.segment_sum((cm * cm).sum(-1), gid,
-                             num_segments=num_graphs)
+    sq = _onehot_segment_sum((cm * cm).sum(-1), gid, num_graphs)
     var = jax.lax.psum(sq, AXIS) / count
     out = centered / jnp.sqrt(var + eps)[gid][:, None]
     return jnp.where(mask[:, None], out, 0.0)
 
 
-def _scatter_to_atoms(x, atom_idx, mask, num_atoms_global: int):
-    """Local edge rows -> their (possibly remote) atoms: local partial
-    segment-sum over the GLOBAL atom axis, reduce-scattered so each device
-    keeps its own contiguous atom range. x: (R, C) local rows."""
-    xm = jnp.where(mask[:, None], x, 0.0)
-    partial = jax.ops.segment_sum(xm, atom_idx,
-                                  num_segments=num_atoms_global)
-    return jax.lax.psum_scatter(partial, AXIS, scatter_dimension=0,
-                                tiled=True)
+# ---------------------------------------------------------------------------
+# the sharded-table row exchange (the only irregular op in the layout)
+# ---------------------------------------------------------------------------
+
+def _gather_rows_ring(buf, ids, take_mask, axis_name=AXIS):
+    """Assemble rows of a globally-flat, atom-sharded table by rotating
+    shards around the ring (ppermute) — peak memory one remote shard,
+    each collective-permute overlapped with the previous step's gather
+    (the ring-attention exchange pattern, SURVEY §5). buf: (R_local, C);
+    ids: (Nl, D) GLOBAL flat row ids; returns (Nl, D, C)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    rows = buf.shape[0]
+    out = jnp.zeros(ids.shape + (buf.shape[-1],), buf.dtype)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    for s in range(n_dev):
+        owner = (me - s) % n_dev       # shard currently held in buf
+        lo = owner * rows
+        in_range = ((ids >= lo) & (ids < lo + rows) & take_mask)
+        idx = jnp.clip(ids - lo, 0, rows - 1)
+        out = out + jnp.where(in_range[..., None], buf[idx], 0.0)
+        if s < n_dev - 1:
+            buf = jax.lax.ppermute(buf, axis_name, perm)
+    return out
+
+
+def _gather_rows(x_flat, ids, take_mask, mode: str):
+    if mode == "ring":
+        return _gather_rows_ring(x_flat, ids, take_mask)
+    xg = jax.lax.all_gather(x_flat, AXIS, axis=0, tiled=True)
+    return jnp.where(take_mask[..., None], xg[ids], 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_exchange(mode: str):
+    """exchange(x_flat, ids, inv_ids, take_mask, src_mask) -> (Nl, D, C).
+
+    Gathers rows `ids` (GLOBAL flat slot space) of the atom-sharded table
+    `x_flat` (Nl*D local rows). Real in-slots and out-slots are in
+    bijection (each edge occupies exactly one of each), so the BACKWARD
+    is the same gather through the inverse table `inv_ids` on the
+    cotangents — no scatter in either pass (the XLA scatter this avoids
+    measured ~100x the step cost on TPU, round-4 bench). The custom VJP
+    takes every traced operand explicitly (no closed-over tracers:
+    jax.checkpoint/remat re-traces through this, CLAUDE.md rule)."""
+
+    @jax.custom_vjp
+    def exchange(x_flat, ids, inv_ids, take_mask, src_mask):
+        return _gather_rows(x_flat, ids, take_mask, mode)
+
+    def fwd(x_flat, ids, inv_ids, take_mask, src_mask):
+        return (_gather_rows(x_flat, ids, take_mask, mode),
+                (inv_ids, take_mask, src_mask))
+
+    def bwd(res, g):
+        inv_ids, take_mask, src_mask = res
+        g = jnp.where(take_mask[..., None], g, 0.0)
+        gf = g.reshape(-1, g.shape[-1])
+        dx = _gather_rows(gf, inv_ids, src_mask, mode)
+        dx = dx.reshape(-1, g.shape[-1])
+        int0 = lambda a: jnp.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+        return dx, int0(inv_ids), int0(inv_ids), int0(take_mask), \
+            int0(src_mask)
+
+    exchange.defvjp(fwd, bwd)
+    return exchange
 
 
 # ---------------------------------------------------------------------------
 # the per-device forward (runs inside shard_map)
 # ---------------------------------------------------------------------------
-
-def _ring_gather_rows(bufs, out2in, out_mask, axis_name=AXIS):
-    """Assemble per-out-slot rows from atom-sharded in-layout tables by
-    rotating shards around the ring (ppermute) instead of all-gathering —
-    peak memory is ONE remote shard instead of the full table, and XLA
-    overlaps each collective-permute with the previous step's gather (the
-    ring-attention exchange pattern, SURVEY §5).
-
-    bufs: tuple of (R_local, C_i) flat local shards (R_local = Nl*D rows
-    of the global flat in-slot space); out2in: (Nl, D) GLOBAL flat slot
-    ids; returns tuple of (Nl, D, C_i) assembled tables."""
-    n_dev = jax.lax.axis_size(axis_name)
-    me = jax.lax.axis_index(axis_name)
-    rows = bufs[0].shape[0]
-    outs = [jnp.zeros(out2in.shape + (b.shape[-1],), b.dtype)
-            for b in bufs]
-    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    for s in range(n_dev):
-        owner = (me - s) % n_dev       # shard currently held in bufs
-        lo = owner * rows
-        in_range = ((out2in >= lo) & (out2in < lo + rows) & out_mask)
-        idx = jnp.clip(out2in - lo, 0, rows - 1)
-        for t, b in enumerate(bufs):
-            got = b[idx]               # (Nl, D, C)
-            outs[t] = outs[t] + jnp.where(in_range[..., None], got, 0.0)
-        if s < n_dev - 1:
-            bufs = tuple(jax.lax.ppermute(b, axis_name, perm)
-                         for b in bufs)
-    return tuple(outs)
 
 
 def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
@@ -262,12 +322,21 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
     in_mask = epb.in_mask
     flat_mask = in_mask.reshape(-1)
     gid_flat = epb.edge_gid_blk.reshape(-1)
-    src_flat = epb.edge_src_blk.reshape(-1)
+
+    # the one irregular op in the layout: gather rows of a sharded flat
+    # table into the local out-table (fwd) / in-table (bwd) — custom VJP,
+    # scatter-free in both passes
+    exchange = _make_exchange(kv_exchange)
+
+    def to_out(x_blk):
+        """(Nl, D, C) in-layout -> (Nl, D, C) out-layout (masked rows 0)."""
+        return exchange(x_blk.reshape(Nl * D, x_blk.shape[-1]),
+                        epb.out2in, epb.in2out, epb.out_mask, in_mask)
 
     pos_g = jax.lax.all_gather(epb.positions, AXIS, axis=0, tiled=True)
 
     # ---- geometry (in-layout; each edge occupies exactly one in-slot) ----
-    own = pos_g[epb.atom_ids][:, None, :]                # (Nl, 1, 3)
+    own = epb.positions[:, None, :]                      # (Nl, 1, 3)
     ji = pos_g[epb.edge_src_blk] - own                   # (Nl, D, 3)
     d = jnp.sqrt(jnp.maximum((ji * ji).sum(-1), 1e-24))
     d_safe = jnp.where(in_mask, d, 1.0)
@@ -275,7 +344,8 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
     env = jnp.where(in_mask, env, 0.0)[..., None]        # (Nl, D, 1)
 
     # ---- featurization ----
-    neo_x = jax.nn.silu(_lin(p["mat_trans"], epb.feat_blk * env))
+    neo_x = jax.nn.silu(_lin(p["mat_trans"],
+                         epb.feat_blk.astype(jnp.float32) * env))
     neo_x = jax.nn.silu(_lin(p["emb_trans"], neo_x))     # (Nl, D, HC)
 
     atom_emb = _embedding_block(p["emb_block"], epb.numbers)
@@ -325,24 +395,26 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
                      & (epb.edge_src_blk[:, :, None]
                         != epb.out_dst_blk[:, None, :]))
 
+    def edges_to_src_atoms(x_blk):
+        """Edge rows -> their SOURCE atoms (readout.py:37 scatter over
+        edge_index[0]), scatter-free: exchange into the out-table (rows
+        = source atoms, possibly remote) and dense-sum the degree axis."""
+        return to_out(x_blk).sum(axis=1)                 # (Nl, C)
+
     def run_readout(i, x_blk):
         rp = p[f"readout_{i}"]
         gate = _lin(rp["lin_rbf"], node_rbf)
-        out = (gate * x_blk).reshape(Nl * D, HC)
-        atoms = _scatter_to_atoms(out, src_flat, flat_mask,
-                                  num_atoms_global)      # (Nl, HC)
+        atoms = edges_to_src_atoms(gate * x_blk)         # (Nl, HC)
         if cfg.readout == "atomwise":
             return _mlp(rp["mlp"], atoms, cfg.mlp_depth)  # (Nl, 1)
         # molwise: pool atoms -> graphs (replicated via psum), MLP on (G,)
         nm = epb.node_mask
-        pooled = jax.ops.segment_sum(
-            jnp.where(nm[:, None], atoms, 0.0), epb.atom_gid,
-            num_segments=G)
+        pooled = _onehot_segment_sum(
+            jnp.where(nm[:, None], atoms, 0.0), epb.atom_gid, G)
         pooled = jax.lax.psum(pooled, AXIS)
         if cfg.readout == "molwise_mean":
-            cnt = jax.lax.psum(jax.ops.segment_sum(
-                nm.astype(jnp.float32), epb.atom_gid, num_segments=G),
-                AXIS)
+            cnt = jax.lax.psum(_onehot_segment_sum(
+                nm.astype(jnp.float32), epb.atom_gid, G), AXIS)
             pooled = pooled / jnp.maximum(cnt, 1.0)[:, None]
         return _mlp(rp["mlp"], pooled, cfg.mlp_depth)     # (G, 1)
 
@@ -365,21 +437,18 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
         k_in = _lin(cp["lin_key"], x_src)
         v_in = _lin(cp["lin_value"], x_src)
         ea = _lin(cp["lin_edge"], e_atom)                # (Nl, HC)
-        # gather K/V source rows: in-layout rows live on their dst atom's
-        # device. 'allgather' = baseline exchange (full table per device);
-        # 'ring' = rotate shards with ppermute, peak memory one shard
-        if kv_exchange == "ring":
-            k_out, v_out, rbf_out = _ring_gather_rows(
-                (k_in.reshape(-1, HC), v_in.reshape(-1, HC),
-                 rbf_env.reshape(-1, L * K)),
-                epb.out2in, epb.out_mask)
-        else:
-            k_g = jax.lax.all_gather(k_in, AXIS, axis=0, tiled=True)
-            v_g = jax.lax.all_gather(v_in, AXIS, axis=0, tiled=True)
-            r_g = jax.lax.all_gather(rbf_env, AXIS, axis=0, tiled=True)
-            k_out = k_g.reshape(-1, HC)[epb.out2in]      # (Nl, D, HC)
-            v_out = v_g.reshape(-1, HC)[epb.out2in]
-            rbf_out = r_g.reshape(-1, L * K)[epb.out2in]
+        # gather K/V/rbf source rows: in-layout rows live on their dst
+        # atom's device. One fused exchange (concat on the channel axis)
+        # instead of three collectives; 'allgather' = full table per
+        # device, 'ring' = ppermute rotation (peak memory one shard)
+        kvr = jnp.concatenate(
+            [k_in.reshape(-1, HC), v_in.reshape(-1, HC),
+             rbf_env.reshape(-1, L * K)], axis=-1)
+        got = exchange(kvr, epb.out2in, epb.in2out, epb.out_mask,
+                       in_mask)                          # (Nl, D, 2HC+LK)
+        k_out = got[..., :HC]
+        v_out = got[..., HC:2 * HC]
+        rbf_out = got[..., 2 * HC:]
         drop_mask = None
         if axis_key is not None:
             # same bernoulli draw both branches (pair_dropout_mask =
@@ -445,9 +514,7 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
     for i in range(cfg.conv_layers):
         res0 = out
         if v2:
-            atoms_rep = _scatter_to_atoms(out.reshape(Nl * D, HC),
-                                          src_flat, flat_mask,
-                                          num_atoms_global)
+            atoms_rep = edges_to_src_atoms(out)          # (Nl, HC)
             e_atom_i = edgenn(atoms_rep, tag=f"_{i}")
         else:
             e_atom_i = edge_attr_atom
@@ -463,9 +530,8 @@ def _ep_forward_local(params, epb: EPBatch, cfg: ModelConfig,
 
     if cfg.readout == "atomwise":
         nm = epb.node_mask
-        per_graph = jax.ops.segment_sum(
-            jnp.where(nm[:, None], results, 0.0), epb.atom_gid,
-            num_segments=G)
+        per_graph = _onehot_segment_sum(
+            jnp.where(nm[:, None], results, 0.0), epb.atom_gid, G)
         results = jax.lax.psum(per_graph, AXIS)          # (G, 1)
     if v2:
         results = results / cfg.conv_layers

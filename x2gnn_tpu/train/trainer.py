@@ -123,10 +123,9 @@ class Trainer:
         if feat_dtype not in ("float32", "float16"):
             raise ValueError(f"feat_dtype must be float32/float16, "
                              f"got {feat_dtype!r}")
-        if feat_dtype == "float16" and (mesh is not None
-                                        and edge_partition is not None):
-            raise ValueError("feat_dtype='float16' is not supported on "
-                             "the EP/hybrid paths (f32 preprocessing)")
+        # round-4: fp16 feature wire/cache reaches the EP/hybrid paths
+        # too — make_ep_batch preserves fp16 edge features and the
+        # sharded forward widens them to f32 at the envelope product
         self._feat_dtype = feat_dtype
         self.bucket_shapes = int(getattr(train_cfg, "bucket_shapes", 0))
         self.pack_budget = bool(getattr(train_cfg, "pack_budget", False))
@@ -138,11 +137,14 @@ class Trainer:
         if self.pack_budget and not self.bucket_shapes:
             raise ValueError("pack_budget requires bucket_shapes >= 1 "
                              "(packing fills the per-class budgets)")
-        if (self.bucket_shapes or self.pack_mixed) and mesh is not None:
+        if self.bucket_shapes and not self.pack_mixed and mesh is not None:
+            # per-class plans emit SEVERAL compiled shapes; stacking
+            # consecutive batches into device groups would mix shapes.
+            # --pack-mixed (ONE shape for every bin) composes with any
+            # mesh instead (round-4, VERDICT r3 #6).
             raise ValueError(
-                "bucket_shapes / pack_mixed (planned budgets) are "
-                "single-device only for now — mesh batch stacking needs "
-                "uniform shapes per device group")
+                "bucket_shapes (multi-shape plans) are single-device "
+                "only — use --pack-mixed (one shape) with a mesh")
         # real/padded node-edge-triplet totals per split (occupancy
         # accounting for metrics.jsonl; filled lazily at batch assembly)
         self._totals = {}
@@ -420,8 +422,9 @@ class Trainer:
                         self.tcfg.batch_size, self.bucket_shapes,
                         self.budgets, pack=True)
                 self._plan_sizes[key] = len(chunks)
-            return max(self._plan_sizes[key], 1)
-        n_batches = -(-len(self.train_idx) // self.tcfg.batch_size)
+            n_batches = self._plan_sizes[key]
+        else:
+            n_batches = -(-len(self.train_idx) // self.tcfg.batch_size)
         if self.mesh is None or (self.edge_partition is not None
                                  and not self._hybrid):
             return max(n_batches, 1)   # one step per batch (plain / EP)
@@ -442,9 +445,13 @@ class Trainer:
         # from enqueueing the next step while the current one runs
         losses, counts = [], []
         batches = self._device_batches(self.train_idx)
-        if (self.bucket_shapes or self.pack_mixed) and self.mesh is None:
-            # size-sorted plan order is a per-epoch curriculum: visit
-            # the (cached) batches in a deterministic per-epoch shuffle
+        if self.bucket_shapes or self.pack_mixed:
+            # size-sorted plan order is a per-epoch curriculum (round-3:
+            # training in plan order plateaued the flagship at 46.8 kcal
+            # where the shuffle reached 4.1) — visit the (cached) batches
+            # in a deterministic per-epoch shuffle. With a mesh this
+            # permutes the sharded device GROUPS; per-group composition
+            # stays fixed, which is still mixed under --pack-mixed.
             batches = self._train_shuffle(batches, epoch)
         for i, batch in enumerate(batches):
             state, loss = self._train_step(state, batch)
