@@ -92,6 +92,11 @@ def parse_args(argv=None):
     p.add_argument("--accum-steps", type=int, default=None,
                    help="gradient accumulation: apply the optimizer every "
                         "N micro-batches (effective batch = N*batch_size)")
+    p.add_argument("--fused-update", action="store_true",
+                   help="flatten the optimizer to one parameter vector "
+                        "(fewer per-leaf kernel launches; ~2.5 ms/step "
+                        "at bs32 — scripts/profile_step.py). Checkpoint "
+                        "opt-state structure differs from unfused runs")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize attention convs in the backward "
                         "pass (O(1) activation memory across layers)")
@@ -180,6 +185,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, pack_budget=True)
     if args.pack_mixed:
         tcfg = dataclasses.replace(tcfg, pack_mixed=True)
+    if args.fused_update:
+        tcfg = dataclasses.replace(tcfg, fused_update=True)
     for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps",
                   "scheduler", "bucket_shapes"):
         v = getattr(args, field)

@@ -132,6 +132,14 @@ class TrainConfig:
     # bucket_shapes/pack_budget when set.
     pack_mixed: bool = False
 
+    # fused (flattened) optimizer + EMA update: run clip/adam/EMA on ONE
+    # concatenated parameter vector instead of ~150 leaf tensors. The
+    # round-4 step profile measured the leaf-wise update machinery at
+    # 2.3-3.0 ms of a 5.8 ms step (per-fusion launch overhead on many
+    # tiny tensors, scripts/profile_step.py). Changes the opt/EMA state
+    # STRUCTURE -> checkpoints are not interchangeable across this flag.
+    fused_update: bool = False
+
     # static batch padding budgets (TPU-specific; no reference equivalent).
     # Defaults fit QM9 at batch_size 32 with the 5 A cutoff.
     pad_nodes: int = 0        # 0 -> auto: batch_size * 30

@@ -144,6 +144,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # accum_steps-th micro-batch, where the AVERAGED gradient is
         # applied — effective batch = accum_steps * batch_size
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_steps)
+    if getattr(cfg, "fused_update", False):
+        # run clip/adam on ONE flat parameter vector instead of ~150
+        # leaf tensors: the round-4 step profile measured the leaf-wise
+        # update at 2.3-3.0 ms of a 5.8 ms step — per-fusion launch
+        # overhead, not math (scripts/profile_step.py). Flag-gated:
+        # the optimizer state STRUCTURE changes, so checkpoints are not
+        # interchangeable across the flag.
+        opt = optax.flatten(opt)
     return opt
 
 
