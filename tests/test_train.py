@@ -443,3 +443,56 @@ def test_feat_dtype_rejects_ep(make_molecule, rng, tmp_path):
         Trainer(X2GNN(TINY_MODEL), TINY_MODEL, TINY_TRAIN, graphs,
                 targets, workdir=str(tmp_path / "r"), mesh=mesh,
                 edge_partition="allgather", feat_dtype="float16")
+
+
+def test_fused_update_matches_unfused_first_step(make_molecule, rng):
+    """--fused-update (optax.flatten) must be numerically the same
+    update to float reassociation (round-4 step-profile mitigation)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    from x2gnn_tpu.data.graphs import build_mol_graph
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.ema import ema_init
+    from x2gnn_tpu.train.loss import smooth_l1_loss
+    from x2gnn_tpu.train.optim import (
+        apply_update_skip_nonfinite, make_optimizer)
+    from x2gnn_tpu.train.trainer import TrainState
+
+    graphs = []
+    for i in range(4):
+        numbers, pos = make_molecule(n_atoms=6 + i)
+        g = build_mol_graph(numbers, pos, y=np.array([float(i)]),
+                            edge_feat_dim=8)
+        graphs.append(g)
+    batch = pad_graphs(graphs, pad_budget_for(graphs, 4))
+    cfg = ModelConfig(attention_layout="blocked", conv_layers=2,
+                      in_channels=32, embedding_size=32, heads=4,
+                      sbf_dim=3, rbf_dim=4, edge_feat_dim=8,
+                      use_pallas=False)
+    model = X2GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def one_step(fused):
+        tcfg = TrainConfig(batch_size=4, warmup_steps=5,
+                           fused_update=fused)
+        opt = make_optimizer(tcfg)
+        p = jax.tree_util.tree_map(jnp.array, params)
+        st = TrainState(p, opt.init(p), ema_init(p),
+                        jnp.zeros((), jnp.int32))
+
+        def loss_fn(pp):
+            return smooth_l1_loss(model.apply(pp, batch), batch.y,
+                                  mask=batch.graph_mask)
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        st, _ = apply_update_skip_nonfinite(st, loss, grads, opt,
+                                            tcfg.ema_decay)
+        return st
+
+    s0, s1 = one_step(False), one_step(True)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
