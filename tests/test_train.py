@@ -496,3 +496,35 @@ def test_fused_update_matches_unfused_first_step(make_molecule, rng):
                     jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_host_cache_batches_matches_device_cache(tmp_path, rng):
+    """cache_batches='host' (RAM-cached batches + device_put prefetch
+    stream) trains identically to the device cache (round-4, for
+    datasets whose padded batches overflow HBM)."""
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+
+    graphs = synthetic_dataset(32, mean_atoms=8, seed=6, edge_feat_dim=8)
+    y = np.array([g.y[0] for g in graphs], np.float32)
+    y = (y - y.mean()) / (y.std() + 1e-9)
+    mcfg = ModelConfig(attention_layout="blocked", conv_layers=2,
+                       in_channels=32, embedding_size=32, heads=4,
+                       sbf_dim=3, rbf_dim=4, edge_feat_dim=8,
+                       use_pallas=False)
+    tcfg = TrainConfig(batch_size=8, warmup_steps=3, ckpt_after_epoch=0,
+                       pack_mixed=True)
+
+    def fit(mode, wd):
+        tr = Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, y,
+                     workdir=str(tmp_path / wd), cache_batches=mode)
+        state, summary = tr.fit(epochs=2)
+        import json
+        return [json.loads(l)["loss"]
+                for l in open(tmp_path / wd / "metrics.jsonl")]
+
+    l_dev = fit(True, "dev")
+    l_host = fit("host", "host")
+    np.testing.assert_allclose(l_host, l_dev, rtol=1e-6)

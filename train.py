@@ -108,7 +108,8 @@ def parse_args(argv=None):
                    default=None,
                    help="conv-stack compute dtype (params stay f32; "
                         "bfloat16 halves attention gather traffic)")
-    p.add_argument("--cache-batches", choices=["auto", "on", "off"],
+    p.add_argument("--cache-batches",
+                   choices=["auto", "on", "off", "host"],
                    default="auto",
                    help="device-resident batch cache: each padded batch "
                         "is host->TPU transferred once per run instead "
@@ -305,8 +306,8 @@ def main(argv=None):
         mcfg = dataclasses.replace(mcfg, attention_layout="blocked")
 
     model = X2GNN(mcfg)
-    cache_batches = {"auto": None, "on": True, "off": False}[
-        args.cache_batches]
+    cache_batches = {"auto": None, "on": True, "off": False,
+                     "host": "host"}[args.cache_batches]
     trainer = Trainer(model, mcfg, tcfg, graphs, targets,
                       workdir=args.workdir, std=std, mesh=mesh,
                       edge_partition=args.edge_partition,

@@ -90,6 +90,12 @@ class Trainer:
         `cache_batches`: keep padded batches across epochs (the split
         order is fixed, trainer.py:22-27, so batches are identical every
         epoch). None = auto (on for datasets under ~20k molecules).
+        'host' = cache assembled batches in HOST RAM and stream them to
+        the device through a background device_put prefetcher — for
+        datasets whose padded batches overflow HBM (134k molecules ~
+        tens of GB) but fit host memory: assembly is paid once, and
+        the per-step cost drops from host-assembly-bound (~103 ms
+        measured round 3) to max(compute, transfer).
 
         `feat_dtype`: dtype for the integral edge features on the wire
         and in the device cache. 'float16' halves the dominant
@@ -151,6 +157,7 @@ class Trainer:
         self._plan_sizes = {}   # split key -> actual batch count (packing)
         if cache_batches is None:
             cache_batches = n <= 20000
+        self._host_cache = cache_batches == "host"
         self._batch_cache = {} if cache_batches else None
         # mesh modes cache the SHARDED device layout (EP/hybrid relayout
         # + device_put happen once per run, not once per epoch); the host
@@ -301,6 +308,14 @@ class Trainer:
             (self.tcfg.random_seed * 1000003 + epoch) % (2 ** 31))
         return iter([batches[j] for j in rs.permutation(len(batches))])
 
+    def _to_device_stream(self, batches):
+        """Stream host-cached numpy batches through a background
+        device_put prefetcher: the next batch's transfer overlaps the
+        current step's compute (cache_batches='host' path)."""
+        import jax as _jax
+        from x2gnn_tpu.data.prefetch import prefetch
+        return prefetch((_jax.device_put(b) for b in batches), depth=2)
+
     def _batches(self, idx):
         key = self._cache_key(idx)
         if self._batch_cache is not None and key in self._batch_cache:
@@ -347,12 +362,13 @@ class Trainer:
         # multi-hour run was OOM-killed at 127 GB host RSS) and wastes
         # PCIe/tunnel bandwidth every epoch.
         batches = list(it)
-        if self.mesh is None:
+        if self.mesh is None and not self._host_cache:
             import jax.numpy as jnp_
             batches = [jax.tree_util.tree_map(jnp_.asarray, b)
                        for b in batches]
-        # else: keep HOST batches here — _device_batches caches the
-        # sharded device layout, so transferring now would be wasted
+        # else: keep HOST batches — _device_batches caches the sharded
+        # device layout (mesh) / _to_device_stream transfers per epoch
+        # with overlap (host cache)
         self._batch_cache[key] = batches
         return iter(batches)
 
@@ -361,6 +377,8 @@ class Trainer:
         The sharded device layout is cached across epochs (the split
         order is fixed, so it is identical every epoch)."""
         if self.mesh is None:
+            if self._host_cache:
+                return self._to_device_stream(self._batches(idx))
             return self._batches(idx)
         key = self._cache_key(idx)
         if self._sharded_cache is not None and key in self._sharded_cache:
@@ -444,15 +462,26 @@ class Trainer:
         # step (expensive on the remote-attached TPU) and stop the host
         # from enqueueing the next step while the current one runs
         losses, counts = [], []
-        batches = self._device_batches(self.train_idx)
-        if self.bucket_shapes or self.pack_mixed:
-            # size-sorted plan order is a per-epoch curriculum (round-3:
-            # training in plan order plateaued the flagship at 46.8 kcal
-            # where the shuffle reached 4.1) — visit the (cached) batches
-            # in a deterministic per-epoch shuffle. With a mesh this
-            # permutes the sharded device GROUPS; per-group composition
-            # stays fixed, which is still mixed under --pack-mixed.
-            batches = self._train_shuffle(batches, epoch)
+        packed = self.bucket_shapes or self.pack_mixed
+        if self._host_cache and self.mesh is None:
+            # host-cached: permute the HOST list, then stream through the
+            # device_put prefetcher (listing the stream itself would
+            # materialize every batch on device — tens of GB at 134k)
+            host = list(self._batches(self.train_idx))
+            if packed:
+                host = list(self._train_shuffle(host, epoch))
+            batches = self._to_device_stream(host)
+        else:
+            batches = self._device_batches(self.train_idx)
+            if packed:
+                # size-sorted plan order is a per-epoch curriculum
+                # (round-3: training in plan order plateaued the flagship
+                # at 46.8 kcal where the shuffle reached 4.1) — visit the
+                # (cached) batches in a deterministic per-epoch shuffle.
+                # With a mesh this permutes the sharded device GROUPS;
+                # per-group composition stays fixed, which is still
+                # mixed under --pack-mixed.
+                batches = self._train_shuffle(batches, epoch)
         for i, batch in enumerate(batches):
             state, loss = self._train_step(state, batch)
             losses.append(loss)
