@@ -573,6 +573,16 @@ class Trainer:
             else:
                 state, loss = self.run_epoch(state, epoch0 + epoch)
             val_err = self.evaluate(state, self.val_idx)
+            if self._host_cache:
+                # the remote-attached backend leaks host-side transfer
+                # buffers (round-2: a re-transferring run OOM-killed at
+                # 127 GB; round-4: the host-cache path re-transfers every
+                # epoch and leaked ~14 GB/epoch at 134k). A per-epoch
+                # collection frees the dead jax.Array wrappers promptly;
+                # the RSS-guarded restart loop (run_flagship.sh pattern)
+                # remains the backstop.
+                import gc
+                gc.collect()
             if plateau is not None:
                 from x2gnn_tpu.train.optim import set_plateau_scale
                 new_scale = plateau.step(val_err)
