@@ -158,10 +158,14 @@ def main():
             heads=H, num_radial=K_rad)
         return (out ** 2).sum()
 
-    # two-tier degree split (the pipeline the model actually runs: atoms
-    # are degree-sorted; rows >= n_hi have degree <= d_lo)
+    # degree windows (the pipeline the model actually runs: atoms are
+    # degree-sorted; round-5 rectangular tiers supersede the two-tier
+    # split — exact-di x rounded-8-dk windows per tier)
     n_hi, d_lo = batch.n_hi, batch.d_lo
-    log(f"degree split: n_hi={n_hi} d_lo={d_lo} (N={N} D={D})")
+    tiers = batch.tiers or (((n_hi, D, D), (N, d_lo, d_lo))
+                            if n_hi and d_lo else ())
+    log(f"degree split: n_hi={n_hi} d_lo={d_lo} (N={N} D={D}); "
+        f"tiers={tiers}")
 
     def pal_split_loss(q_in, k_in, v_in):
         w_bd = expand_block_diagonal(W_sbf, L, K_rad, H * C)
@@ -171,19 +175,22 @@ def main():
                                  in2out_flat, in_mask_flat)
         e_a = e_atom.reshape(N, H * C)
         bias = s_bias.reshape(1, H * C)
-        out_hi = pallas_blocked_attention(
-            q_in[:n_hi], k_out[:n_hi], v_out[:n_hi], e_a[:n_hi],
-            rbf_out[:n_hi], w_bd, bias, z[:n_hi],
-            in_src_j[:n_hi], out_dst_j[:n_hi],
-            heads=H, num_radial=K_rad)
-        out_lo = pallas_blocked_attention(
-            q_in[n_hi:, :d_lo], k_out[n_hi:, :d_lo], v_out[n_hi:, :d_lo],
-            e_a[n_hi:], rbf_out[n_hi:, :d_lo], w_bd, bias,
-            z[n_hi:, :d_lo, :d_lo],
-            in_src_j[n_hi:, :d_lo], out_dst_j[n_hi:, :d_lo],
-            heads=H, num_radial=K_rad)
-        out = jnp.zeros((N, D, H * C), out_hi.dtype)
-        out = out.at[:n_hi].set(out_hi).at[n_hi:, :d_lo].set(out_lo)
+        # pad+concat assembly (NOT .at[].set: >= 3 kernels feeding DUS
+        # of one buffer SIGABRT the TPU AOT compiler, round 5)
+        pieces = []
+        b0 = 0
+        for (b1, di, dk) in tiers:
+            if b1 == b0:
+                continue
+            o_t = pallas_blocked_attention(
+                q_in[b0:b1, :di], k_out[b0:b1, :dk], v_out[b0:b1, :dk],
+                e_a[b0:b1], rbf_out[b0:b1, :dk], w_bd, bias,
+                z[b0:b1, :di, :dk],
+                in_src_j[b0:b1, :di], out_dst_j[b0:b1, :dk],
+                heads=H, num_radial=K_rad)
+            pieces.append(jnp.pad(o_t, ((0, 0), (0, D - di), (0, 0))))
+            b0 = b1
+        out = jnp.concatenate(pieces, axis=0)
         return (out ** 2).sum()
 
     seg_step = jax.jit(jax.grad(seg_loss, argnums=(0, 1, 2)))
@@ -210,7 +217,7 @@ def main():
     log(f"blocked (pallas, bf16 q/k/v) fwd+bwd: {t_pal16 * 1e3:.3f} ms "
         f"-> {real_T / t_pal16 / 1e6:.1f} M triplets/s")
     t_pal2 = t_pal
-    if n_hi and d_lo:
+    if tiers:
         pal2_step = jax.jit(jax.grad(pal_split_loss, argnums=(0, 1, 2)))
         t_pal2 = time_fn(pal2_step, q_in, k_in, v_in)
         log(f"blocked (pallas, degree-split) fwd+bwd: {t_pal2 * 1e3:.3f} "
@@ -271,16 +278,20 @@ def main():
             # accumulation (2 d^2 HC each); softmax/harmonics negligible
             return 2.0 * n_rows * d * d * HC * (2 + L_)
 
-        if n_hi and d_lo:
-            f_fwd = kernel_flops(n_hi, D) + kernel_flops(N - n_hi, d_lo)
-            pad_pairs = n_hi * D * D + (N - n_hi) * d_lo * d_lo
+        if tiers:
+            f_fwd = pad_pairs = 0
+            b0 = 0
+            for (b1, di, dk) in tiers:
+                f_fwd += 2.0 * (b1 - b0) * di * dk * HC * (2 + L_)
+                pad_pairs += (b1 - b0) * di * dk
+                b0 = b1
         else:
             f_fwd = kernel_flops(N, D)
             pad_pairs = N * D * D
         # HBM bytes, fwd: q/k/v + rbf_env reads, z, e_atom, out write (f32)
         b_fwd = (3 * N * D * HC + N * D * L_ * K_ + N * D * D
                  + N * HC + N * D * HC) * 4.0
-        fwd_fn = jax.jit(pal_split_loss if (n_hi and d_lo) else pal_loss)
+        fwd_fn = jax.jit(pal_split_loss if tiers else pal_loss)
         t_fwd = time_fn(fwd_fn, q_in, k_in, v_in)
         mfu = f_fwd / t_fwd / PEAK_BF16
         ai = f_fwd / b_fwd
@@ -416,6 +427,8 @@ def _workload_sweep(log, time_fn):
         rbf_out = injective_gather(rbf_in, out2in, in2out_flat,
                                    in_mask_flat)
         n_hi, d_lo = batch.n_hi, batch.d_lo
+        tiers = batch.tiers or (((n_hi, D, D), (N, d_lo, d_lo))
+                                if n_hi and d_lo else ((N, D, D),))
 
         def pal_loss(q_in, k_in, v_in):
             w_bd = expand_block_diagonal(W_sbf, L, K_rad, HC)
@@ -423,26 +436,23 @@ def _workload_sweep(log, time_fn):
                                      in2out_flat, in_mask_flat)
             v_out = injective_gather(v_in.reshape(N * D, HC), out2in,
                                      in2out_flat, in_mask_flat)
-            if n_hi and d_lo:
-                o_hi = pallas_blocked_attention(
-                    q_in[:n_hi], k_out[:n_hi], v_out[:n_hi],
-                    e_atom[:n_hi], rbf_out[:n_hi], w_bd, s_bias,
-                    z[:n_hi], in_src_j[:n_hi], out_dst_j[:n_hi],
+            pieces = []
+            b0 = 0
+            for (b1, di, dk) in tiers:
+                if b1 == b0:
+                    continue
+                o_t = pallas_blocked_attention(
+                    q_in[b0:b1, :di], k_out[b0:b1, :dk],
+                    v_out[b0:b1, :dk], e_atom[b0:b1],
+                    rbf_out[b0:b1, :dk], w_bd, s_bias,
+                    z[b0:b1, :di, :dk],
+                    in_src_j[b0:b1, :di], out_dst_j[b0:b1, :dk],
                     heads=H, num_radial=K_rad)
-                o_lo = pallas_blocked_attention(
-                    q_in[n_hi:, :d_lo], k_out[n_hi:, :d_lo],
-                    v_out[n_hi:, :d_lo], e_atom[n_hi:],
-                    rbf_out[n_hi:, :d_lo], w_bd, s_bias,
-                    z[n_hi:, :d_lo, :d_lo],
-                    in_src_j[n_hi:, :d_lo], out_dst_j[n_hi:, :d_lo],
-                    heads=H, num_radial=K_rad)
-                o = jnp.zeros((N, D, HC), o_hi.dtype)
-                o = o.at[:n_hi].set(o_hi).at[n_hi:, :d_lo].set(o_lo)
-            else:
-                o = pallas_blocked_attention(
-                    q_in, k_out, v_out, e_atom, rbf_out, w_bd, s_bias,
-                    z, in_src_j, out_dst_j, heads=H, num_radial=K_rad)
-            return (o ** 2).sum()
+                pieces.append(jnp.pad(o_t, ((0, 0), (0, D - di), (0, 0))))
+                b0 = b1
+            # pad+concat, not .at[].set (TPU AOT SIGABRT with >= 3
+            # kernels + DUS chains; see nn/conv.py)
+            return (jnp.concatenate(pieces, axis=0) ** 2).sum()
 
         fwd_fn = jax.jit(pal_loss)
         grad_fn = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2)))
@@ -457,10 +467,11 @@ def _workload_sweep(log, time_fn):
                     iters=10 if bs >= 256 else 20)
             for _ in range(3)]))
         # HBM bytes, fwd: q/k/v + rbf_env reads, z, e_atom, out write
-        if n_hi and d_lo:
-            pad_pairs = n_hi * D * D + (N - n_hi) * d_lo * d_lo
-        else:
-            pad_pairs = N * D * D
+        pad_pairs = 0
+        b0 = 0
+        for (b1, di, dk) in tiers:
+            pad_pairs += (b1 - b0) * di * dk
+            b0 = b1
         b_fwd = (3 * N * D * HC + N * D * L * K_rad + pad_pairs
                  + N * HC + N * D * HC) * 4.0
         f_fwd = 2.0 * pad_pairs * HC * (2 + L)

@@ -17,11 +17,13 @@ def _graphs(make_molecule, k=5):
 
 
 def test_pad_graphs_offsets(make_molecule):
-    """Concatenation-order layout — holds when the two-tier degree split
-    is disabled (the split relabels atoms by descending degree; see
+    """Concatenation-order layout — holds when the degree splits are
+    disabled (both the two-tier split and the rectangular tiers relabel
+    atoms by descending degree; see
     test_pad_graphs_degree_sort_is_pure_relabeling for that contract)."""
     gs = _graphs(make_molecule, 3)
-    budgets = pad_budget_for(gs, batch_size=3)._replace(n_deg_lo=0, n_hi=0)
+    budgets = pad_budget_for(gs, batch_size=3)._replace(
+        n_deg_lo=0, n_hi=0, tiers=())
     b = pad_graphs(gs, budgets)
     a0 = e0 = 0
     for gid, g in enumerate(gs):
@@ -91,7 +93,8 @@ def test_pad_graphs_degree_sort_is_pure_relabeling(make_molecule):
     rows >= n_hi in the blocked table have degree <= d_lo."""
     gs = _graphs(make_molecule, 4)
     budgets = pad_budget_for(gs, batch_size=4)
-    plain = pad_graphs(gs, budgets._replace(n_deg_lo=0, n_hi=0))
+    plain = pad_graphs(gs, budgets._replace(n_deg_lo=0, n_hi=0,
+                                            tiers=()))
     b = pad_graphs(gs, budgets)
     if budgets.n_hi == 0:   # split disabled for this composition
         pytest.skip("degree split not active for these molecules")
@@ -468,3 +471,70 @@ def test_ep_fp16_features_close_to_f32(rng, make_molecule):
     a = np.asarray(fwd(params, shard_ep_batch(epb32, mesh)))
     b = np.asarray(fwd(params, shard_ep_batch(epb16, mesh)))
     np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-2)
+
+
+def test_plan_degree_tiers_invariants():
+    """Tier DP: increasing 8-aligned boundaries ending at n_node,
+    di exact / dk = round8(di), capacity never above the square window,
+    and never above the two-tier optimum for the same counts."""
+    from x2gnn_tpu.data.batching import plan_degree_tiers
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n_node = int(rng.integers(4, 60)) * 8
+        cap = int(rng.integers(4, 40))
+        # synthetic exceed-count profile: decreasing in d
+        raw = np.sort(rng.integers(0, n_node, size=cap + 1))[::-1]
+        raw[cap] = 0   # nothing exceeds the cap
+        tiers = plan_degree_tiers(n_node, cap, raw)
+        if not tiers:
+            continue
+        prev_end, prev_di = 0, 10 ** 9
+        capacity = 0
+        for (end, di, dk) in tiers:
+            assert end > prev_end
+            assert end == n_node or end % 8 == 0
+            assert di < prev_di
+            assert dk == ((di + 7) // 8) * 8
+            # guarantee feasible: rows exceeding di fit above the tier
+            need = ((int(raw[di]) + 7) // 8) * 8 if di < len(raw) else 0
+            assert min(need, n_node) <= prev_end
+            capacity += (end - prev_end) * di * dk
+            prev_end, prev_di = end, di
+        assert prev_end == n_node
+        square = n_node * cap * (((cap + 7) // 8) * 8)
+        assert capacity <= square
+
+
+def test_pad_graphs_tier_guarantee(make_molecule):
+    """After the degree sort, every tier's rows respect its di bound."""
+    gs = _graphs(make_molecule, 4)
+    bud = pad_budget_for(gs, batch_size=4)
+    if not bud.tiers:
+        pytest.skip("no tiers for this composition")
+    b = pad_graphs(gs, bud)
+    deg = np.maximum(
+        np.bincount(b.edge_dst[b.edge_mask], minlength=len(b.numbers)),
+        np.bincount(b.edge_src[b.edge_mask], minlength=len(b.numbers)))
+    prev = 0
+    for (end, di, dk) in b.tiers:
+        assert deg[prev:end].max(initial=0) <= di
+        prev = end
+    assert prev == len(b.numbers)
+
+
+def test_mixed_packed_plan_emits_tiers(make_molecule):
+    """pack-mixed budgets carry tiers whose capacity is at most the
+    two-tier capacity the round-4 plan would have used."""
+    from x2gnn_tpu.data.batching import mixed_packed_plan
+    gs = _graphs(make_molecule, 24)
+    base = pad_budget_for(gs, batch_size=6)
+    chunks, budgets, stats = mixed_packed_plan(
+        gs, np.arange(len(gs)), 6, base)
+    bud = budgets[0]
+    if not bud.tiers:
+        pytest.skip("no tiers for this composition")
+    # every chunk padded with the tier budgets must validate
+    for c in chunks:
+        pad_graphs([gs[i] for i in c], bud, n_graph=bud.n_graph)
+    real, padded = stats["pairs"]
+    assert real <= padded

@@ -405,3 +405,94 @@ def test_blocked_conv_dropout_keeps_pallas_and_matches(make_molecule, rng):
     # and dropout actually does something vs deterministic
     out_det = np.asarray(model_pal.apply(params, b))
     assert np.abs(out_pal - out_det).max() > 1e-6
+
+
+def test_rectangular_window_matches_square(make_molecule, rng):
+    """Round-5 rectangular windows: an exact-DI x rounded-DK kernel call
+    over rows whose degree fits the window must equal the square full-
+    window result on those rows (slots >= degree are masked)."""
+    b, tensors, geom = _problem(make_molecule, rng)
+    q, k, v, e_atom, W, bias = tensors
+    z, _, _, a_ids, b_ids, rbf = geom
+    in_e = jnp.asarray(b.in_edges)
+    out_e = jnp.asarray(b.out_edges)
+    N, D = b.in_edges.shape
+    w_bd = expand_block_diagonal(W, L, K, HC)
+    deg = np.maximum(b.in_mask.sum(1), b.out_mask.sum(1))
+
+    def call(DI, DK, rows):
+        return pallas_blocked_attention(
+            q.reshape(-1, HC)[in_e][rows, :DI],
+            k.reshape(-1, HC)[out_e][rows, :DK],
+            v.reshape(-1, HC)[out_e][rows, :DK],
+            e_atom.reshape(-1, HC)[rows],
+            rbf.reshape(-1, L * K)[out_e][rows, :DK],
+            w_bd, bias.reshape(1, HC),
+            jnp.asarray(z[rows, :DI, :DK], jnp.float32),
+            jnp.asarray(a_ids[rows, :DI]), jnp.asarray(b_ids[rows, :DK]),
+            heads=H, num_radial=K, interpret=True)
+
+    all_rows = np.arange(N)
+    full = np.asarray(call(D, D, all_rows))
+    # rectangular window sized to the actual max degree: DI exact,
+    # DK rounded to 8 — every real slot is inside the window
+    di = int(deg.max())
+    dk = ((di + 7) // 8) * 8
+    if dk >= D:
+        dk = D
+    rect = np.asarray(call(di, min(dk, D), all_rows))
+    im = np.asarray(b.in_mask)[:, :di]
+    np.testing.assert_allclose(rect[im], full[:, :di][im],
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients through the rectangular window match the square ones
+    def loss(fn_args, DI, DK):
+        qq, kk, vv = fn_args
+        out = pallas_blocked_attention(
+            qq[:, :DI], kk[:, :DK], vv[:, :DK],
+            e_atom.reshape(-1, HC),
+            rbf.reshape(-1, L * K)[out_e][:, :DK],
+            w_bd, bias.reshape(1, HC),
+            jnp.asarray(z[:, :DI, :DK], jnp.float32),
+            jnp.asarray(a_ids[:, :DI]), jnp.asarray(b_ids[:, :DK]),
+            heads=H, num_radial=K, interpret=True)
+        m = jnp.asarray(b.in_mask)[:, :DI, None]
+        return jnp.where(m, out + out ** 2, 0.0).sum()
+
+    q_in = q.reshape(-1, HC)[in_e]
+    k_out = k.reshape(-1, HC)[out_e]
+    v_out = v.reshape(-1, HC)[out_e]
+    g_sq = jax.grad(lambda *a: loss(a, D, D), argnums=(0, 1, 2))(
+        q_in, k_out, v_out)
+    g_rc = jax.grad(lambda *a: loss(a, di, min(dk, D)),
+                    argnums=(0, 1, 2))(q_in, k_out, v_out)
+    for a, r in zip(g_rc, g_sq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_tiered_model_matches_untied_pallas(make_molecule, rng):
+    """batch.tiers drives the multi-tier kernel loop in the model; the
+    forward must be bitwise-identical to the square one-window path."""
+    import dataclasses
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.models import X2GNN
+    cfg = ModelConfig(conv_layers=2, in_channels=32, embedding_size=32,
+                      heads=4, sbf_dim=3, rbf_dim=4, edge_feat_dim=8,
+                      attention_layout="blocked", use_pallas=True)
+    gs = []
+    for i in range(4):
+        numbers, pos = make_molecule(n_atoms=int(rng.integers(5, 12)))
+        g = build_mol_graph(numbers, pos, y=np.array([0.0]),
+                            edge_feat_dim=8)
+        gs.append(g)
+    bud = pad_budget_for(gs, 4)
+    if not bud.tiers:
+        pytest.skip("tier planner found no split for this composition")
+    b_tier = pad_graphs(gs, bud)
+    b_sq = dataclasses.replace(b_tier, tiers=(), n_hi=0, d_lo=0)
+    model = X2GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), b_sq)
+    out_t = np.asarray(model.apply(params, b_tier))
+    out_s = np.asarray(model.apply(params, b_sq))
+    np.testing.assert_allclose(out_t, out_s, rtol=1e-6, atol=1e-7)

@@ -43,6 +43,15 @@ class Budgets(NamedTuple):
     # nominal batch size, so the static graph dimension must cover the
     # largest packed count in the budget class
     n_graph: int = 0
+    # rectangular multi-tier degree windows (round 5): tuple of
+    # (end_row, di, dk) with increasing end rows, the last == n_node.
+    # Atoms are degree-sorted per batch; rows [end_{t-1}, end_t) are
+    # guaranteed degree <= di_t and run the fused kernel in an EXACT-di
+    # x rounded-8-dk window (di collapses into the slab row dim — no
+    # sublane alignment cost; only dk pays the 8-rounding). Supersedes
+    # the two-tier (n_deg_lo, n_hi) split for the blocked Pallas path;
+    # () = disabled.
+    tiers: tuple = ()
 
 
 @struct.dataclass
@@ -99,6 +108,10 @@ class GraphBatch:
     # descending degree, rows >= n_hi all have degree <= d_lo (0 = off)
     n_hi: int = struct.field(pytree_node=False, default=0)
     d_lo: int = struct.field(pytree_node=False, default=0)
+    # static rectangular degree tiers ((end_row, di, dk), ...) — see
+    # Budgets.tiers; () = disabled. The same descending degree sort
+    # backs both splits, so both guarantees hold simultaneously.
+    tiers: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_graphs(self) -> int:
@@ -113,6 +126,80 @@ def _max_degree(g: MolGraph) -> int:
     return int(max(
         np.bincount(g.edge_index[0], minlength=g.num_atoms).max(),
         np.bincount(g.edge_index[1], minlength=g.num_atoms).max()))
+
+
+def plan_degree_tiers(
+    n_node: int,
+    cap_deg: int,
+    cnt_over,
+    max_tiers: int = 8,
+    multiple: int = 8,
+) -> tuple:
+    """Choose rectangular degree tiers minimizing pair-slab capacity.
+
+    The fused kernel's heavy ops run on (rows, dk*128-lane) slabs where
+    the query width di collapses into the row dimension (exact — no
+    alignment), while the key width dk pays 8-sublane rounding. So the
+    per-row window cost is di * round8(dk) and the OPTIMAL tier set for
+    a degree distribution comes from a small DP over thresholds:
+    f_k(d) = cost of covering rows [cnt_over(d), n_node) with <= k
+    tiers whose topmost window is d.
+
+    cnt_over[d] (d = 0..cap_deg) = worst-case number of atom rows whose
+    degree EXCEEDS d in any batch this budget serves (the same
+    composition-independent quantity the two-tier n_hi uses).
+
+    Returns tiers = ((end_row, di, dk), ...), end rows increasing (each
+    a multiple of `multiple` except the last = n_node); rows
+    [end_{t-1}, end_t) are guaranteed degree <= di_t. () if a single
+    full-width tier is optimal (no split helps).
+    """
+    def r8(v):
+        return ((max(int(v), 1) + multiple - 1) // multiple) * multiple
+
+    def ru_row(v):
+        return min(((int(v) + multiple - 1) // multiple) * multiple,
+                   n_node)
+
+    cap_deg = max(int(cap_deg), 1)
+    cnt = [ru_row(cnt_over[d]) if d < len(cnt_over) else 0
+           for d in range(cap_deg + 1)]
+    w = [d * r8(d) for d in range(cap_deg + 1)]
+    # f[k][d] = min cost covering rows [cnt[d], n_node) with <= k tiers,
+    # topmost window d; nxt[k][d] = the next (smaller) window, or None
+    # when tier d runs to the end. O(max_tiers * cap_deg^2), cap <= ~64.
+    f = [None, {d: (n_node - cnt[d]) * w[d]
+                for d in range(1, cap_deg + 1)}]
+    nxt = [None, {d: None for d in range(1, cap_deg + 1)}]
+    for k in range(2, max_tiers + 1):
+        fk, nk = {}, {}
+        for d in range(1, cap_deg + 1):
+            best, arg = f[1][d], None
+            for d2 in range(1, d):
+                c = (cnt[d2] - cnt[d]) * w[d] + f[k - 1][d2]
+                if c < best:
+                    best, arg = c, d2
+            fk[d], nk[d] = best, arg
+        f.append(fk)
+        nxt.append(nk)
+    # reconstruct the max_tiers-bounded optimum from the cap window
+    seq, k, d = [cap_deg], max_tiers, cap_deg
+    while True:
+        d2 = nxt[k][d]
+        if d2 is None:
+            break
+        seq.append(d2)
+        d, k = d2, k - 1
+    tiers = []
+    prev_end = 0
+    for i, dd in enumerate(seq):
+        end = cnt[seq[i + 1]] if i + 1 < len(seq) else n_node
+        if end > prev_end:
+            tiers.append((int(end), int(dd), int(r8(dd))))
+            prev_end = end
+    if len(tiers) <= 1:
+        return ()
+    return tuple(tiers)
 
 
 def pad_budget_for(
@@ -150,17 +237,35 @@ def pad_budget_for(
     all_deg = (np.concatenate(per_graph_deg)
                if per_graph_deg else np.zeros(1))
     d_lo = int(-(-int(np.quantile(all_deg, 0.75)) // 8) * 8)
+    n_node_budget = round_up(worst_case(n))
     n_hi = 0
     if 0 < d_lo < n_deg:
         hi_counts = np.array([int((d > d_lo).sum())
                               for d in per_graph_deg])
         n_hi = ((worst_case(hi_counts) + 7) // 8) * 8
-        if n_hi >= round_up(worst_case(n)):
+        if n_hi >= n_node_budget:
             d_lo = n_hi = 0   # split would cover everything: disable
     else:
         d_lo = 0
-    return Budgets(round_up(worst_case(n)), round_up(worst_case(e)),
-                   round_up(worst_case(t)), n_deg, d_lo, n_hi)
+    # rectangular multi-tier windows: worst-case exceed-counts per
+    # threshold over ANY batch_size-subset (same composition-independent
+    # quantity as n_hi, one per candidate degree), fed to the tier DP
+    tiers: tuple = ()
+    if deg > 1 and per_graph_deg:
+        cnt_mat = np.zeros((len(per_graph_deg), deg + 1), np.int64)
+        for m, dvec in enumerate(per_graph_deg):
+            if dvec.size:
+                h = np.bincount(np.minimum(dvec, deg),
+                                minlength=deg + 1)
+                cnt_mat[m] = dvec.size - np.cumsum(h)
+        k = min(batch_size, cnt_mat.shape[0])
+        col_sorted = -np.sort(-cnt_mat, axis=0)
+        cnt_over = col_sorted[:k].sum(axis=0)
+        tiers = plan_degree_tiers(n_node_budget, deg, cnt_over,
+                                  multiple=multiple)
+    return Budgets(n_node_budget, round_up(worst_case(e)),
+                   round_up(worst_case(t)), n_deg, d_lo, n_hi,
+                   tiers=tiers)
 
 
 def pad_graphs(
@@ -191,6 +296,7 @@ def pad_graphs(
     n_node, n_edge, n_trip, n_deg = budgets[:4]
     d_lo = budgets[4] if len(budgets) > 4 else 0
     n_hi_budget = budgets[5] if len(budgets) > 5 else 0
+    tiers = budgets.tiers if isinstance(budgets, Budgets) else ()
     n_graph = n_graph if n_graph is not None else len(graphs)
     if len(graphs) > n_graph:
         raise ValueError(f"{len(graphs)} graphs > budget {n_graph}")
@@ -248,17 +354,36 @@ def pad_graphs(
     # the GraphBatch treedef mid-run (stack/tree_map mismatch, silent
     # recompile). With e0 == 0 the sort is a no-op and the guard holds
     # vacuously (all degrees 0 <= d_lo).
-    if d_lo > 0 and n_hi_budget > 0:
+    if (d_lo > 0 and n_hi_budget > 0) or tiers:
         deg_in = np.bincount(edge_dst[:e0], minlength=n_node)
         deg_out = np.bincount(edge_src[:e0], minlength=n_node)
         key = np.maximum(deg_in, deg_out)
         order = np.argsort(-key[:a0], kind="stable")
         perm = np.concatenate([order, np.arange(a0, n_node)])
-        n_over = int((key[perm] > d_lo).sum())
-        if n_over > n_hi_budget:
+        key_sorted = key[perm]
+        if d_lo > 0 and n_hi_budget > 0:
+            n_over = int((key_sorted > d_lo).sum())
+            if n_over > n_hi_budget:
+                raise ValueError(
+                    f"{n_over} atoms exceed degree {d_lo} but the n_hi "
+                    f"budget is {n_hi_budget} — budgets not from "
+                    f"pad_budget_for?")
+        else:
+            d_lo = n_hi_budget = 0
+        # rectangular tier guarantee: rows [end_{t-1}, end_t) must have
+        # degree <= di_t, i.e. #(degree > di_t) <= end_{t-1}
+        prev_end = 0
+        for (end_t, di_t, dk_t) in tiers:
+            n_over = int((key_sorted > di_t).sum())
+            if n_over > prev_end:
+                raise ValueError(
+                    f"{n_over} atoms exceed tier degree {di_t} but the "
+                    f"tier starts at row {prev_end} — budgets not from "
+                    f"the tier planner?")
+            prev_end = end_t
+        if tiers and prev_end != n_node:
             raise ValueError(
-                f"{n_over} atoms exceed degree {d_lo} but the n_hi budget "
-                f"is {n_hi_budget} — budgets not from pad_budget_for?")
+                f"tiers end at {prev_end} != node budget {n_node}")
         inv = np.empty(n_node, np.int64)
         inv[perm] = np.arange(n_node)
         numbers = numbers[perm]
@@ -344,6 +469,7 @@ def pad_graphs(
         out_edges=out_edges, out_mask=out_mask_t, edge_inpos=edge_inpos,
         edge_outpos=edge_outpos,
         n_hi=int(n_hi_budget), d_lo=int(d_lo),
+        tiers=tuple(tuple(int(v) for v in t) for t in tiers),
     )
 
 
@@ -377,6 +503,11 @@ def mixed_packed_plan(
     mol_needs = np.zeros((n_mols, 4), dtype=np.int64)
     deg_sq = np.zeros(n_mols, dtype=np.int64)
     want_split = base.n_deg_lo > 0 and base.n_hi > 0
+    # per-molecule exceed-counts for EVERY threshold (tier planning):
+    # mol_cnt[m, t] = #atoms of molecule m with degree > t
+    capd = max(int(base.n_deg), 1)
+    mol_cnt = np.zeros((n_mols, capd + 1), dtype=np.int64)
+    deg_max_all = 1
     for m, i in enumerate(idx):
         g = graphs[i]
         hi = 0
@@ -385,6 +516,9 @@ def mixed_packed_plan(
                 np.bincount(g.edge_index[0], minlength=g.num_atoms),
                 np.bincount(g.edge_index[1], minlength=g.num_atoms))
             deg_sq[m] = int((deg.astype(np.int64) ** 2).sum())
+            deg_max_all = max(deg_max_all, int(deg.max()))
+            h = np.bincount(np.minimum(deg, capd), minlength=capd + 1)
+            mol_cnt[m] = deg.size - np.cumsum(h)
             if want_split:
                 hi = int((deg > base.n_deg_lo).sum())
         mol_needs[m] = (g.num_atoms, g.num_edges, g.num_triplets, hi)
@@ -421,13 +555,29 @@ def mixed_packed_plan(
     if want_split and n_hi >= n_node:
         n_hi = d_lo = 0
     n_graph = round_up(max(len(b) for b in bins))
+    # rectangular tiers from the EXACT bin compositions: cnt_over[t] =
+    # the worst bin's count of atoms with degree > t (composition is
+    # fixed per run — the trainer shuffles batch ORDER, not membership)
+    capd_eff = min(deg_max_all, capd)
+    bin_cnt = np.array([mol_cnt[np.asarray(b)].sum(axis=0)
+                        for b in bins], dtype=np.int64)
+    tiers = plan_degree_tiers(n_node, capd_eff,
+                              bin_cnt.max(axis=0)[:capd_eff + 1],
+                              multiple=multiple)
     bud = Budgets(n_node, n_edge, n_trip, base.n_deg, d_lo, n_hi,
-                  n_graph=n_graph)
+                  n_graph=n_graph, tiers=tiers)
     chunks = [idx[np.asarray(b)] for b in bins]
     budgets = [bud] * len(chunks)
-    per_bin_pairs = (n_hi * base.n_deg ** 2
-                     + (n_node - n_hi) * d_lo * d_lo
-                     if n_hi else n_node * base.n_deg ** 2)
+    if tiers:
+        per_bin_pairs = sum(
+            (end - start) * di * dk
+            for (end, di, dk), start in zip(tiers, (0,) + tuple(
+                t[0] for t in tiers[:-1])))
+    elif n_hi:
+        per_bin_pairs = (n_hi * base.n_deg ** 2
+                         + (n_node - n_hi) * d_lo * d_lo)
+    else:
+        per_bin_pairs = n_node * base.n_deg ** 2
     stats = {
         "real": tuple(int(x) for x in totals[:3]),
         "padded": tuple(int(bud[d] * len(chunks)) for d in range(3)),

@@ -249,6 +249,7 @@ class X2GNN(nn.Module):
                     return mdl(x, nrbf, renv, cbf_, e_atom, o2i, i2o,
                                imask, pmask, z=z_, a_ids=aid, b_ids=bid,
                                n_hi=batch.n_hi, d_lo=batch.d_lo,
+                               tiers=batch.tiers,
                                deterministic=deterministic)
 
                 if cfg.remat:

@@ -224,7 +224,7 @@ class BlockedEdgeAttentionConv(nn.Module):
     def __call__(self, x_blk, rbf_blk, rbf_env_out, cbf, atom_edge_attr,
                  out2in, in2out_flat, in_mask, pair_mask,
                  z=None, a_ids=None, b_ids=None,
-                 n_hi: int = 0, d_lo: int = 0,
+                 n_hi: int = 0, d_lo: int = 0, tiers: tuple = (),
                  deterministic: bool = True,
                  return_attention_weights: bool = False):
         """x_blk: (N, D, C) in-layout line-graph node features;
@@ -283,7 +283,46 @@ class BlockedEdgeAttentionConv(nn.Module):
                 drop_mask = pair_dropout_mask(
                     self.make_rng("dropout"), self.dropout, N, D, H)
             want_a = bool(return_attention_weights)
-            if 0 < n_hi < N and 0 < d_lo < D:
+            if tiers:
+                # rectangular multi-tier windows (round 5): atoms are
+                # degree-sorted; rows [end_{t-1}, end_t) have degree <=
+                # di_t and run an EXACT-di x rounded-8-dk kernel window
+                # (di rides the collapsed slab row dim — no alignment
+                # cost; see data/batching.py::plan_degree_tiers). Every
+                # tier slices the SAME canonical pair-space dropout
+                # mask, so layout equivalence under one rng holds.
+                # Assembly is pad+concat, NOT chained .at[].set: >= 3
+                # Mosaic custom-calls feeding dynamic-update-slices of
+                # one buffer SIGABRT the TPU AOT compiler (round 5,
+                # reproduced minimally); concatenation lowers clean.
+                pieces = []
+                alpha_tiers = []
+                b0 = 0
+                for (b1, di, dk) in tiers:
+                    if b1 == b0:
+                        continue
+                    o_t = pallas_blocked_attention(
+                        q[b0:b1, :di], k_out[b0:b1, :dk],
+                        v_out[b0:b1, :dk], e_a[b0:b1],
+                        rbf_env_out[b0:b1, :dk], w_bd, bias,
+                        z[b0:b1, :di, :dk],
+                        a_ids[b0:b1, :di], b_ids[b0:b1, :dk],
+                        heads=H, num_radial=K,
+                        dropout_mask=(None if drop_mask is None
+                                      else drop_mask[b0:b1, :di, :dk]),
+                        return_alpha=want_a)
+                    if want_a:
+                        o_t, a_t = o_t
+                        alpha_tiers.append(jnp.pad(
+                            a_t, ((0, 0), (0, D - di), (0, D - dk),
+                                  (0, 0))))
+                    pieces.append(jnp.pad(o_t, ((0, 0), (0, D - di),
+                                                (0, 0))))
+                    b0 = b1
+                out = jnp.concatenate(pieces, axis=0)
+                if want_a:
+                    alpha_pairs = jnp.concatenate(alpha_tiers, axis=0)
+            elif 0 < n_hi < N and 0 < d_lo < D:
                 # two-tier degree split: atoms are degree-sorted, so rows
                 # >= n_hi all have degree <= d_lo — run them in a
                 # (d_lo x d_lo) window (most of a batch's atoms; the D^2

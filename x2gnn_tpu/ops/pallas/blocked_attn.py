@@ -22,17 +22,30 @@ Mosaic-specific formulation:
     budgets D > 40 switch to i-chunked kernels that sweep (i_chunk, D)
     query sub-blocks so the temporaries stay bounded.
 
-Inputs (pre-gathered into the blocked layout by XLA):
-    q_blk/k_blk/v_blk: (N, D, HC)    per-atom in/out edge projections
+Inputs (pre-gathered into the blocked layout by XLA). Round 5: the
+query width DI and key width DK are independent — RECTANGULAR windows.
+DI collapses into the slab row dimension of every heavy op (exact, no
+sublane alignment); only DK pays the 8-sublane rounding, so the tier
+planner (data/batching.py::plan_degree_tiers) passes exact-Di tiers:
+    q_blk:             (N, DI, HC)   per-atom in-edge projections
+    k_blk/v_blk:       (N, DK, HC)   per-atom out-edge projections
     e_atom:            (N, HC)       media-atom edge_attr projection
-    rbf_blk:           (N, D, L*K)   radial sbf factors of the out-edges
+    rbf_blk:           (N, DK, L*K)  radial sbf factors of the out-edges
     w_bd:              (L*K, L*HC)   block-diagonal lin_sbf kernel
     s_bias:            (1, HC)       lin_sbf bias
-    z:                 (N, D, D)     cos(angle) between in/out edge pairs
-    a_ids/b_ids:       (N, D) int32  atom ids (-1/-2 pad) masking invalid
-                       and backtracking (i == k) pairs
-Returns out_blk (N, D, HC). Gradients flow to q/k/v/e_atom/w_bd/s_bias;
+    z:                 (N, DI, DK)   cos(angle) between in/out edge pairs
+    a_ids:             (N, DI) int32 atom ids (-1 pad) of in-edge srcs
+    b_ids:             (N, DK) int32 atom ids (-2 pad) of out-edge dsts
+                       (masks invalid and backtracking i == k pairs)
+Returns out_blk (N, DI, HC). Gradients flow to q/k/v/e_atom/w_bd/s_bias;
 rbf_blk and z are geometry (no trainable dependence) and receive zeros.
+
+Mosaic/XLA lowering rules learned the hard way (kept load-bearing):
+  * never expand_dims a bool in-kernel — minor-dim insertion only
+    lowers for 32-bit types; expand the f32 mask first, compare after;
+  * the caller must NOT assemble >= 3 tier outputs with chained
+    .at[].set — Mosaic custom-calls feeding dynamic-update-slices of
+    one buffer SIGABRT the TPU AOT compiler; pad + concatenate instead.
 """
 
 from __future__ import annotations
@@ -92,42 +105,64 @@ def _heads_bcast(x_h, Mind):
 
 
 def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
-                    BA, D, H, C, L, drop=None):
+                    BA, DI, DK, H, C, L, drop=None):
     """Forward math for a whole atom block, vectorized over BA atoms (the
-    VPU is fed (BA*D*D, HC) slabs instead of per-atom crumbs).
-    q/k/v: (BA, D, HC); z/valid: (BA, D, D); G_flat: (BA, D, L*HC);
-    drop: optional (BA, Di, Dk, H) keep mask pre-scaled by 1/keep —
-    applied to alpha AFTER the softmax (sbftransformer_conv.py:153).
-    Returns (alpha (BA,Di,Dk,H) PRE-dropout, alpha_rep (BA,Di,Dk,HC)
-    POST-dropout, s (...,HC), out (BA,D,HC))."""
-    HC = H * C
-    validf = jnp.expand_dims(valid, -1)                # (BA, Di, Dk, 1)
-    prod = jnp.expand_dims(q, 2) * jnp.expand_dims(k, 1)  # (BA,Di,Dk,HC)
-    scores = _heads_sum(prod.reshape(BA * D * D, HC), Mind)
-    scores = scores.reshape(BA, D, D, H) / float(np.sqrt(C))
-    scores = scores * validf + (1.0 - validf) * _NEG
-    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
-    ex = jnp.exp(scores - smax)
-    ex = ex * validf
-    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-    alpha = ex / denom
-    alpha_used = alpha if drop is None else alpha * drop
-    alpha_rep = _heads_bcast(alpha_used.reshape(BA * D * D, H), Mind)
-    alpha_rep = alpha_rep.reshape(BA, D, D, HC)
+    VPU is fed (BA*DI*DK, HC) slabs instead of per-atom crumbs).
+    q: (BA, DI, HC); k/v: (BA, DK, HC); z/valid: (BA, DI, DK);
+    G_flat: (BA, DK, L*HC); drop: optional (BA, DI, DK, H) keep mask
+    pre-scaled by 1/keep — applied to alpha AFTER the softmax
+    (sbftransformer_conv.py:153).
 
-    P = _legendre_stack(z, L)                          # list (BA, Di, Dk)
-    s = jnp.broadcast_to(s_bias.reshape(1, 1, 1, HC), (BA, D, D, HC))
+    Rectangular windows (DI != DK) are first-class: the query axis DI
+    collapses into the slab row dim (no sublane alignment), only the
+    key axis DK pays the 8-sublane rounding — the planner exploits this
+    with exact-Di x rounded-8-Dk degree tiers.
+
+    Slab-op economy (the kernel is VPU-roofline-bound, BENCHMARKS
+    'Kernel ceiling'): masking is ONE select (not mul+mul+add), the
+    post-softmax ex*valid is dropped (masked scores already exp to 0
+    exactly at _NEG), and the softmax division is deferred OUT of pair
+    space — messages accumulate unnormalized and the (BA, DI, HC)
+    output is scaled by the per-query reciprocal denominator.
+
+    Returns (ex (BA,DI,DK,H) unnormalized PRE-dropout weights,
+    ex_rep (BA,DI,DK,HC) UNNORMALIZED post-dropout weights,
+    rnorm (BA,DI,1,H) reciprocal denominators, s (...,HC),
+    out (BA,DI,HC)); alpha = ex * rnorm, computed by the caller ONLY
+    where needed (the bwd kernel; WANT_ALPHA) so the normalized pair
+    tensor doesn't cost a slab op in the plain forward."""
+    HC = H * C
+    # expand the f32 mask BEFORE comparing: Mosaic can only insert a
+    # minor dim on 32-bit types (bool expand_dims fails to lower)
+    validb = jnp.expand_dims(valid, -1) != 0           # (BA, DI, DK, 1)
+    prod = jnp.expand_dims(q, 2) * jnp.expand_dims(k, 1)  # (BA,DI,DK,HC)
+    scores = _heads_sum(prod.reshape(BA * DI * DK, HC), Mind)
+    scores = scores.reshape(BA, DI, DK, H) / float(np.sqrt(C))
+    scores = jnp.where(validb, scores, _NEG)
+    smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
+    ex = jnp.exp(scores - smax)        # exactly 0 at masked pairs
+    denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
+    rnorm = 1.0 / denom                                # (BA, DI, 1, H)
+    ex_used = ex if drop is None else ex * drop
+    ex_rep = _heads_bcast(ex_used.reshape(BA * DI * DK, H), Mind)
+    ex_rep = ex_rep.reshape(BA, DI, DK, HC)
+
+    P = _legendre_stack(z, L)                          # list (BA, DI, DK)
+    s = jnp.broadcast_to(s_bias.reshape(1, 1, 1, HC), (BA, DI, DK, HC))
     for l in range(L):
         Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
         s = s + (jnp.expand_dims(P[l], -1)
                  * jnp.expand_dims(Gl, 1))
-    msg = jnp.expand_dims(v, 1) * s * alpha_rep
-    out = msg.sum(axis=2)                              # (BA, Di, HC)
-    return alpha, alpha_rep, s, out
+    msg = jnp.expand_dims(v, 1) * s * ex_rep
+    out = msg.sum(axis=2)                              # (BA, DI, HC)
+    # normalize per query row: (BA, DI, H) -> broadcast to HC lanes
+    rnorm_rep = _heads_bcast(rnorm.reshape(BA * DI, H), Mind)
+    out = out * rnorm_rep.reshape(BA, DI, HC)
+    return ex, ex_rep, rnorm, s, out
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
-                a_ref, b_ids_ref, *rest, BA, D, H, C, L, K,
+                a_ref, b_ids_ref, *rest, BA, DI, DK, H, C, L, K,
                 HAS_DROP=False, WANT_ALPHA=False):
     # rest = ([drop_ref]) + (out_ref, [alpha_ref]) by the static flags
     i = 0
@@ -144,22 +179,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     k = k_ref[:].astype(jnp.float32) + e
     v = v_ref[:].astype(jnp.float32) + e
     z = z_ref[:]
-    aid = jnp.expand_dims(a_ref[:, 0], 2)                # (BA, D, 1)
-    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, D)
+    aid = jnp.expand_dims(a_ref[:, 0], 2)                # (BA, DI, 1)
+    bid = jnp.expand_dims(b_ids_ref[:, 0], 1)            # (BA, 1, DK)
     valid = ((aid != bid) & (aid >= 0)
              & (bid >= 0)).astype(jnp.float32)
-    G_flat = _mm(rbf_ref[:].reshape(BA * D, L * K),
-                 w_bd).reshape(BA, D, L * (H * C))
-    alpha, _, _, out = _attention_core(
-        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L,
+    G_flat = _mm(rbf_ref[:].reshape(BA * DK, L * K),
+                 w_bd).reshape(BA, DK, L * (H * C))
+    ex, _, rnorm, _, out = _attention_core(
+        q, k, v, z, valid, G_flat, bias, Mind, BA, DI, DK, H, C, L,
         drop=None if drop_ref is None else drop_ref[:])
     out_ref[:] = out
     if WANT_ALPHA:
-        alpha_ref[:] = alpha
+        alpha_ref[:] = ex * rnorm
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
-                a_ref, b_ids_ref, *rest, BA, D, H, C, L, K,
+                a_ref, b_ids_ref, *rest, BA, DI, DK, H, C, L, K,
                 HAS_DROP=False, WANT_ALPHA=False):
     # rest = ([drop_ref]) + (g_ref, [galpha_ref]) + 6 output refs
     i = 0
@@ -190,22 +225,30 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     bid = jnp.expand_dims(b_ids_ref[:, 0], 1)
     valid = ((aid != bid) & (aid >= 0)
              & (bid >= 0)).astype(jnp.float32)
-    rbf = rbf_ref[:].reshape(BA * D, L * K)
-    G_flat = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+    rbf = rbf_ref[:].reshape(BA * DK, L * K)
+    G_flat = _mm(rbf, w_bd).reshape(BA, DK, L * HC)
     drop = None if drop_ref is None else drop_ref[:]
-    alpha, alpha_rep, sfull, _ = _attention_core(
-        q, k, v, z, valid, G_flat, bias, Mind, BA, D, H, C, L, drop=drop)
-    g = g_ref[:]                                         # (BA, Di, HC)
+    ex, ex_rep, rnorm, sfull, _ = _attention_core(
+        q, k, v, z, valid, G_flat, bias, Mind, BA, DI, DK, H, C, L,
+        drop=drop)
+    alpha = ex * rnorm                   # normalized pre-dropout weights
+    g = g_ref[:]                                         # (BA, DI, HC)
 
-    # msg = v_k * s_ik * alpha_ik (broadcast over i); alpha_rep already
-    # carries the dropout mask, so ds/dv see the dropped weights
-    g4 = jnp.expand_dims(g, 2)                           # (BA, Di, 1, HC)
-    v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
-    ds = g4 * v4 * alpha_rep
-    dv_from_msg = (g4 * sfull * alpha_rep).sum(axis=1)
+    # msg = v_k * s_ik * alpha_ik (broadcast over i). ex_rep carries the
+    # dropout mask but NOT the softmax normalization — fold rnorm into
+    # the incoming gradient instead (gn = g * rnorm per query row), so
+    # ds/dv see the normalized dropped weights without materializing a
+    # second normalized (DI, DK, HC) pair tensor.
+    rn_rep = _heads_bcast(rnorm.reshape(BA * DI, H), Mind)
+    gn = g * rn_rep.reshape(BA, DI, HC)
+    gn4 = jnp.expand_dims(gn, 2)                         # (BA, DI, 1, HC)
+    g4 = jnp.expand_dims(g, 2)
+    v4 = jnp.expand_dims(v, 1)                           # (BA, 1, DK, HC)
+    ds = gn4 * v4 * ex_rep
+    dv_from_msg = (gn4 * sfull * ex_rep).sum(axis=1)
     dalpha_rep = g4 * v4 * sfull
-    dalpha = _heads_sum(dalpha_rep.reshape(BA * D * D, HC), Mind)
-    dalpha = dalpha.reshape(BA, D, D, H)
+    dalpha = _heads_sum(dalpha_rep.reshape(BA * DI * DK, HC), Mind)
+    dalpha = dalpha.reshape(BA, DI, DK, H)
     if drop is not None:
         dalpha = dalpha * drop       # chain through alpha_used = a * m
     if WANT_ALPHA:
@@ -213,18 +256,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     inner = (alpha * dalpha).sum(axis=2, keepdims=True)
     dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
     dscores = dscores * jnp.expand_dims(valid, -1)
-    dsc_rep = _heads_bcast(dscores.reshape(BA * D * D, H), Mind)
-    dsc_rep = dsc_rep.reshape(BA, D, D, HC)
-    dq = (dsc_rep * jnp.expand_dims(k, 1)).sum(axis=2)  # (BA, Di, HC)
-    dk = (dsc_rep * jnp.expand_dims(q, 2)).sum(axis=1)   # (BA, Dk, HC)
+    dsc_rep = _heads_bcast(dscores.reshape(BA * DI * DK, H), Mind)
+    dsc_rep = dsc_rep.reshape(BA, DI, DK, HC)
+    dq = (dsc_rep * jnp.expand_dims(k, 1)).sum(axis=2)  # (BA, DI, HC)
+    dk = (dsc_rep * jnp.expand_dims(q, 2)).sum(axis=1)   # (BA, DK, HC)
 
     # s = bias + sum_l P_l * G_l with G = rbf @ W_bd
     P = _legendre_stack(z, L)
     dG_parts = [(jnp.expand_dims(P[l], -1) * ds).sum(axis=1)
                 for l in range(L)]
-    dG_flat = jnp.concatenate(dG_parts, axis=-1)         # (BA, Dk, L*HC)
+    dG_flat = jnp.concatenate(dG_parts, axis=-1)         # (BA, DK, L*HC)
     dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
-        rbf, dG_flat.reshape(BA * D, L * HC),
+        rbf, dG_flat.reshape(BA * DK, L * HC),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     db_ref[:] = db_ref[:] + ds.sum(axis=(0, 1, 2))[None, :]
 
@@ -235,10 +278,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
 
 
 def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, valid_ref, *rest, BA, D, H, C, L, K, IC,
+                       z_ref, valid_ref, *rest, BA, DK, H, C, L, K, IC,
                        HAS_DROP=False, WANT_ALPHA=False):
     """Grid-chunked forward: the query (in-edge) axis is tiled by the
-    SECOND grid dimension, so each step works on (BA, IC, D, HC)
+    SECOND grid dimension, so each step works on (BA, IC, DK, HC)
     temporaries with purely static tiles — no in-kernel dynamic slicing
     (Mosaic mis-lowers dynamic sublane slices) and no unrolled stack
     growth (which scope-OOMs VMEM at D >= 48). The softmax axis
@@ -257,46 +300,49 @@ def _fwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     bias = b_ref[0, :]
     w_bd = w_ref[:]
     e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)  # (BA, 1, HC)
-    k = k_ref[:].astype(jnp.float32) + e                 # (BA, Dk, HC)
+    k = k_ref[:].astype(jnp.float32) + e                 # (BA, DK, HC)
     v = v_ref[:].astype(jnp.float32) + e
     q_c = q_ref[:].astype(jnp.float32)                   # (BA, IC, HC)
-    z_c = z_ref[:]                                       # (BA, IC, Dk)
-    validf = jnp.expand_dims(valid_ref[:], -1)           # (BA, IC, Dk, 1)
+    z_c = z_ref[:]                                       # (BA, IC, DK)
+    # f32-first expand (Mosaic minor-dim insertion is 32-bit only)
+    validb = jnp.expand_dims(valid_ref[:], -1) != 0      # (BA, IC, DK, 1)
 
     # G depends only on the atom block (grid dim 0): compute once on the
-    # first query chunk, reuse from VMEM scratch for the other D/IC - 1
-    # chunks instead of redoing the (BA*D, L*K) x (L*K, L*HC) matmul
+    # first query chunk, reuse from VMEM scratch for the other chunks
+    # instead of redoing the (BA*DK, L*K) x (L*K, L*HC) matmul
     @pl.when(pl.program_id(1) == 0)
     def _():
-        g_scratch[:] = _mm(rbf_ref[:].reshape(BA * D, L * K),
-                           w_bd).reshape(BA, D, L * HC)
+        g_scratch[:] = _mm(rbf_ref[:].reshape(BA * DK, L * K),
+                           w_bd).reshape(BA, DK, L * HC)
 
     G_flat = g_scratch[:]
-    v4 = jnp.expand_dims(v, 1)                           # (BA, 1, Dk, HC)
+    v4 = jnp.expand_dims(v, 1)                           # (BA, 1, DK, HC)
     k4 = jnp.expand_dims(k, 1)
-    prod = jnp.expand_dims(q_c, 2) * k4                  # (BA, IC, Dk, HC)
-    scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
-    scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
-    scores = scores * validf + (1.0 - validf) * _NEG
+    prod = jnp.expand_dims(q_c, 2) * k4                  # (BA, IC, DK, HC)
+    scores = _heads_sum(prod.reshape(BA * IC * DK, HC), Mind)
+    scores = scores.reshape(BA, IC, DK, H) / float(np.sqrt(C))
+    scores = jnp.where(validb, scores, _NEG)
     smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
-    ex = jnp.exp(scores - smax) * validf
+    ex = jnp.exp(scores - smax)        # exactly 0 at masked pairs
     denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-    alpha = ex / denom                                   # (BA, IC, Dk, H)
-    alpha_used = alpha if drop_ref is None else alpha * drop_ref[:]
-    alpha_rep = _heads_bcast(alpha_used.reshape(BA * IC * D, H),
-                             Mind).reshape(BA, IC, D, HC)
-    P = _legendre_stack(z_c, L)                          # list (BA, IC, Dk)
-    sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
+    rnorm = 1.0 / denom                                  # (BA, IC, 1, H)
+    ex_used = ex if drop_ref is None else ex * drop_ref[:]
+    ex_rep = _heads_bcast(ex_used.reshape(BA * IC * DK, H),
+                          Mind).reshape(BA, IC, DK, HC)
+    P = _legendre_stack(z_c, L)                          # list (BA, IC, DK)
+    sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, DK, HC))
     for l in range(L):
         Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
         sm = sm + jnp.expand_dims(P[l], -1) * jnp.expand_dims(Gl, 1)
-    out_ref[:] = (v4 * sm * alpha_rep).sum(axis=2)
+    rn_rep = _heads_bcast(rnorm.reshape(BA * IC, H), Mind)
+    out_ref[:] = ((v4 * sm * ex_rep).sum(axis=2)
+                  * rn_rep.reshape(BA, IC, HC))
     if WANT_ALPHA:
-        alpha_ref[:] = alpha
+        alpha_ref[:] = ex * rnorm
 
 
 def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
-                       z_ref, valid_ref, *rest, BA, D, H, C, L, K, IC,
+                       z_ref, valid_ref, *rest, BA, DK, H, C, L, K, IC,
                        HAS_DROP=False, WANT_ALPHA=False):
     """Grid-chunked backward. dq is tiled like q; dk/dv/de accumulate
     across the chunk sweep into atom-block-indexed output blocks (zeroed
@@ -326,8 +372,8 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
 
     @pl.when(pj == 0)
     def _():
-        dk_ref[:] = jnp.zeros((BA, D, HC), jnp.float32)
-        dv_ref[:] = jnp.zeros((BA, D, HC), jnp.float32)
+        dk_ref[:] = jnp.zeros((BA, DK, HC), jnp.float32)
+        dv_ref[:] = jnp.zeros((BA, DK, HC), jnp.float32)
         de_ref[:] = jnp.zeros((BA, 1, HC), jnp.float32)
 
     e = jnp.expand_dims(e_ref[:, 0].astype(jnp.float32), 1)
@@ -336,47 +382,51 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     q_c = q_ref[:].astype(jnp.float32)
     g_c = g_ref[:]
     z_c = z_ref[:]
-    validf = jnp.expand_dims(valid_ref[:], -1)
-    rbf = rbf_ref[:].reshape(BA * D, L * K)
+    validb = jnp.expand_dims(valid_ref[:], -1) != 0
+    rbf = rbf_ref[:].reshape(BA * DK, L * K)
 
     @pl.when(pj == 0)
     def _():
-        g_scratch[:] = _mm(rbf, w_bd).reshape(BA, D, L * HC)
+        g_scratch[:] = _mm(rbf, w_bd).reshape(BA, DK, L * HC)
 
     G_flat = g_scratch[:]
     v4 = jnp.expand_dims(v, 1)
     k4 = jnp.expand_dims(k, 1)
     prod = jnp.expand_dims(q_c, 2) * k4
-    scores = _heads_sum(prod.reshape(BA * IC * D, HC), Mind)
-    scores = scores.reshape(BA, IC, D, H) / float(np.sqrt(C))
-    scores = scores * validf + (1.0 - validf) * _NEG
+    scores = _heads_sum(prod.reshape(BA * IC * DK, HC), Mind)
+    scores = scores.reshape(BA, IC, DK, H) / float(np.sqrt(C))
+    scores = jnp.where(validb, scores, _NEG)
     smax = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), _NEG / 2)
-    ex = jnp.exp(scores - smax) * validf
+    ex = jnp.exp(scores - smax)
     denom = jnp.maximum(ex.sum(axis=2, keepdims=True), 1e-16)
-    alpha = ex / denom                                   # (BA, IC, Dk, H)
+    rnorm = 1.0 / denom
+    alpha = ex * rnorm                                   # (BA, IC, DK, H)
     drop = None if drop_ref is None else drop_ref[:]
-    alpha_used = alpha if drop is None else alpha * drop
-    alpha_rep = _heads_bcast(alpha_used.reshape(BA * IC * D, H),
-                             Mind).reshape(BA, IC, D, HC)
+    ex_used = ex if drop is None else ex * drop
+    ex_rep = _heads_bcast(ex_used.reshape(BA * IC * DK, H),
+                          Mind).reshape(BA, IC, DK, HC)
     P = _legendre_stack(z_c, L)
-    sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, D, HC))
+    sm = jnp.broadcast_to(bias.reshape(1, 1, 1, HC), (BA, IC, DK, HC))
     for l in range(L):
         Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
         sm = sm + jnp.expand_dims(P[l], -1) * jnp.expand_dims(Gl, 1)
-    g4 = jnp.expand_dims(g_c, 2)                         # (BA, IC, 1, HC)
-    ds = g4 * v4 * alpha_rep
-    dv_c = (g4 * sm * alpha_rep).sum(axis=1)
-    dalpha = _heads_sum((g4 * v4 * sm).reshape(BA * IC * D, HC), Mind)
-    dalpha = dalpha.reshape(BA, IC, D, H)
+    rn_rep = _heads_bcast(rnorm.reshape(BA * IC, H), Mind)
+    gn_c = g_c * rn_rep.reshape(BA, IC, HC)
+    gn4 = jnp.expand_dims(gn_c, 2)                       # (BA, IC, 1, HC)
+    g4 = jnp.expand_dims(g_c, 2)
+    ds = gn4 * v4 * ex_rep
+    dv_c = (gn4 * sm * ex_rep).sum(axis=1)
+    dalpha = _heads_sum((g4 * v4 * sm).reshape(BA * IC * DK, HC), Mind)
+    dalpha = dalpha.reshape(BA, IC, DK, H)
     if drop is not None:
         dalpha = dalpha * drop
     if WANT_ALPHA:
         dalpha = dalpha + galpha_ref[:]
     inner = (alpha * dalpha).sum(axis=2, keepdims=True)
     dscores = alpha * (dalpha - inner) / float(np.sqrt(C))
-    dscores = dscores * validf
-    dsc_rep = _heads_bcast(dscores.reshape(BA * IC * D, H),
-                           Mind).reshape(BA, IC, D, HC)
+    dscores = jnp.where(validb, dscores, 0.0)
+    dsc_rep = _heads_bcast(dscores.reshape(BA * IC * DK, H),
+                           Mind).reshape(BA, IC, DK, HC)
     dq_ref[:] = (dsc_rep * k4).sum(axis=2)
     dk_c = (dsc_rep * jnp.expand_dims(q_c, 2)).sum(axis=1)
     dk_ref[:] = dk_ref[:] + dk_c
@@ -384,9 +434,9 @@ def _bwd_kernel_ichunk(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref,
     de_ref[:] = de_ref[:] + jnp.expand_dims((dk_c + dv_c).sum(axis=1), 1)
     dG_parts = [(jnp.expand_dims(P[l], -1) * ds).sum(axis=1)
                 for l in range(L)]
-    dG_flat = jnp.concatenate(dG_parts, axis=-1)         # (BA, Dk, L*HC)
+    dG_flat = jnp.concatenate(dG_parts, axis=-1)         # (BA, DK, L*HC)
     dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
-        rbf, dG_flat.reshape(BA * D, L * HC),
+        rbf, dG_flat.reshape(BA * DK, L * HC),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     db_ref[:] = db_ref[:] + ds.sum(axis=(0, 1, 2))[None, :]
 
@@ -407,39 +457,50 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     scope; the i-chunked kernels iterate over query sub-blocks of `i_chunk`
     rows instead (identical numerics — the softmax axis stays whole).
 
-    dropout_mask: optional (N, D, D, H) keep mask pre-scaled by 1/keep
+    dropout_mask: optional (N, DI, DK, H) keep mask pre-scaled by 1/keep
     (ops.attention.pair_dropout_mask), streamed into the kernel and
     applied to the softmax weights AFTER normalization
     (sbftransformer_conv.py:153) — dropout>0 keeps the fused path.
-    return_alpha: also return the PRE-dropout weights (N, D, D, H)
+    return_alpha: also return the PRE-dropout weights (N, DI, DK, H)
     (PyG's return_attention_weights saves alpha before dropout); the
     alpha output is differentiable (its cotangent joins the softmax vjp).
+
+    RECTANGULAR windows (round 5): the query width DI (q_blk.shape[1])
+    and key width DK (k_blk.shape[1]) are independent. DI collapses into
+    the slab row dimension of every heavy op, so it carries NO sublane
+    alignment cost — the tier planner passes EXACT per-tier Di and
+    8-rounded Dk, reclaiming the pair padding square windows pay
+    (BENCHMARKS 'Kernel ceiling' item 5).
     """
-    N, D, HC = q_blk.shape
+    N, DI, HC = q_blk.shape
+    DK = k_blk.shape[1]
+    assert z.shape == (N, DI, DK), (z.shape, (N, DI, DK))
+    assert rbf_blk.shape[1] == DK, (rbf_blk.shape, DK)
     K = num_radial
     L = rbf_blk.shape[-1] // K
     H = heads
     C = HC // H
     HAS_DROP = dropout_mask is not None
     WANT_ALPHA = bool(return_alpha)
-    if i_chunk is None and D > 40:
-        # largest divisor of D that is <= 8 (auto selection must not
-        # assert-crash on valid budgets whose D isn't a multiple of 8)
-        i_chunk = next(c for c in (8, 7, 6, 5, 4, 3, 2, 1) if D % c == 0)
+    if i_chunk is None and DK > 40:
+        # largest divisor of DI that is <= 8 (auto selection must not
+        # assert-crash on valid budgets whose DI isn't a multiple of 8)
+        i_chunk = next(c for c in (8, 7, 6, 5, 4, 3, 2, 1) if DI % c == 0)
     if i_chunk is not None:
-        assert D % i_chunk == 0, f"D={D} not a multiple of i_chunk={i_chunk}"
+        assert DI % i_chunk == 0, (
+            f"DI={DI} not a multiple of i_chunk={i_chunk}")
     if block_atoms is None:
         # VMEM tiles pad the lane (last) dim to 128: HC < 128 still costs
         # 128 lanes per row (found the hard way — a HC=32 run OOMed with
         # a budget sized for HC=32); the dropout mask and alpha output
-        # each add one more (.., D, H->128-lane) temporary
+        # each add one more (.., DK, H->128-lane) temporary
         lanes = max(HC, 128)
         n_live = 8 + int(HAS_DROP) + int(WANT_ALPHA)
         if i_chunk is not None:
-            # ~n_live live (IC, D, HC) chunk temporaries per atom
-            per_atom = i_chunk * D * lanes * 4 * n_live
+            # ~n_live live (IC, DK, HC) chunk temporaries per atom
+            per_atom = i_chunk * DK * lanes * 4 * n_live
         else:
-            per_atom = D * D * lanes * 4 * n_live
+            per_atom = DI * DK * lanes * 4 * n_live
         block_atoms = 8
         while block_atoms > 1 and (block_atoms * per_atom > 10 * 2 ** 20
                                    or N % block_atoms):
@@ -453,28 +514,32 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     # 2D per-atom arrays lifted to (N, 1, X) so block tiles satisfy the
     # last-two-dims constraints at any BA (unit dim == array dim)
     e_atom3 = e_atom.reshape(N, 1, HC)
-    a_ids3 = a_ids.reshape(N, 1, D)
-    b_ids3 = b_ids.reshape(N, 1, D)
+    a_ids3 = a_ids.reshape(N, 1, DI)
+    b_ids3 = b_ids.reshape(N, 1, DK)
     specs = dict(
-        q=pl.BlockSpec((BA, D, HC), lambda i: (i, 0, 0),
+        q=pl.BlockSpec((BA, DI, HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
+        kv=pl.BlockSpec((BA, DK, HC), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM),
         e=pl.BlockSpec((BA, 1, HC), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-        rbf=pl.BlockSpec((BA, D, L * K), lambda i: (i, 0, 0),
+        rbf=pl.BlockSpec((BA, DK, L * K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         w=pl.BlockSpec((L * K, L * HC), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
         b=pl.BlockSpec((1, HC), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-        z=pl.BlockSpec((BA, D, D), lambda i: (i, 0, 0),
+        z=pl.BlockSpec((BA, DI, DK), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-        ids=pl.BlockSpec((BA, 1, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        pair_h=pl.BlockSpec((BA, D, D, H), lambda i: (i, 0, 0, 0),
+        ids_i=pl.BlockSpec((BA, 1, DI), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM),
+        ids_k=pl.BlockSpec((BA, 1, DK), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM),
+        pair_h=pl.BlockSpec((BA, DI, DK, H), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM),
     )
 
-    n_chunks = 1 if i_chunk is None else D // i_chunk
+    n_chunks = 1 if i_chunk is None else DI // i_chunk
     if i_chunk is not None:
         IC = i_chunk
         # pair validity precomputed by XLA (cheap); grid tiles slice it
@@ -484,19 +549,19 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
         cspecs = dict(
             q=pl.BlockSpec((BA, IC, HC), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM),
-            kv=pl.BlockSpec((BA, D, HC), lambda i, j: (i, 0, 0),
+            kv=pl.BlockSpec((BA, DK, HC), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM),
             e=pl.BlockSpec((BA, 1, HC), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM),
-            rbf=pl.BlockSpec((BA, D, L * K), lambda i, j: (i, 0, 0),
+            rbf=pl.BlockSpec((BA, DK, L * K), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             w=pl.BlockSpec((L * K, L * HC), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM),
             b=pl.BlockSpec((1, HC), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM),
-            z=pl.BlockSpec((BA, IC, D), lambda i, j: (i, j, 0),
+            z=pl.BlockSpec((BA, IC, DK), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM),
-            pair_h=pl.BlockSpec((BA, IC, D, H), lambda i, j: (i, j, 0, 0),
+            pair_h=pl.BlockSpec((BA, IC, DK, H), lambda i, j: (i, j, 0, 0),
                                 memory_space=pltpu.VMEM),
         )
 
@@ -511,8 +576,9 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
     def _run_fwd(q_blk, k_blk, v_blk, e_atom3, w_bd, s_bias,
                  rbf_blk, z, aux_a, aux_b, drop):
         if i_chunk is not None:
-            kern = functools.partial(_fwd_kernel_ichunk, BA=BA, D=D, H=H,
-                                     C=C, L=L, K=K, IC=i_chunk, **kflags)
+            kern = functools.partial(_fwd_kernel_ichunk, BA=BA, DK=DK,
+                                     H=H, C=C, L=L, K=K, IC=i_chunk,
+                                     **kflags)
             in_specs = [cspecs["q"], cspecs["kv"], cspecs["kv"],
                         cspecs["e"], cspecs["rbf"], cspecs["w"],
                         cspecs["b"], cspecs["z"], cspecs["z"]]
@@ -522,11 +588,11 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 in_specs.append(cspecs["pair_h"])
                 operands.append(drop)
             out_specs = cspecs["q"]
-            out_shape = jax.ShapeDtypeStruct((N, D, HC), jnp.float32)
+            out_shape = jax.ShapeDtypeStruct((N, DI, HC), jnp.float32)
             if WANT_ALPHA:
                 out_specs = (out_specs, cspecs["pair_h"])
                 out_shape = (out_shape, jax.ShapeDtypeStruct(
-                    (N, D, D, H), jnp.float32))
+                    (N, DI, DK, H), jnp.float32))
             return pl.pallas_call(
                 kern,
                 grid=(n_blocks, n_chunks),
@@ -534,25 +600,25 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 out_specs=out_specs,
                 out_shape=out_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((BA, D, L * HC), jnp.float32)],
+                    pltpu.VMEM((BA, DK, L * HC), jnp.float32)],
                 interpret=interp,
             )(*operands)
-        kern = functools.partial(_fwd_kernel, BA=BA, D=D, H=H, C=C,
-                                 L=L, K=K, **kflags)
-        in_specs = [specs["q"], specs["q"], specs["q"], specs["e"],
+        kern = functools.partial(_fwd_kernel, BA=BA, DI=DI, DK=DK, H=H,
+                                 C=C, L=L, K=K, **kflags)
+        in_specs = [specs["q"], specs["kv"], specs["kv"], specs["e"],
                     specs["rbf"], specs["w"], specs["b"], specs["z"],
-                    specs["ids"], specs["ids"]]
+                    specs["ids_i"], specs["ids_k"]]
         operands = [q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd, s_bias,
                     z, aux_a, aux_b]
         if HAS_DROP:
             in_specs.append(specs["pair_h"])
             operands.append(drop)
         out_specs = specs["q"]
-        out_shape = jax.ShapeDtypeStruct((N, D, HC), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((N, DI, HC), jnp.float32)
         if WANT_ALPHA:
             out_specs = (out_specs, specs["pair_h"])
             out_shape = (out_shape, jax.ShapeDtypeStruct(
-                (N, D, D, H), jnp.float32))
+                (N, DI, DK, H), jnp.float32))
         return pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -588,16 +654,17 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
         if WANT_ALPHA:
             g, galpha = g
         out_shapes = (
-            jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
-            jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
-            jax.ShapeDtypeStruct((N, D, HC), jnp.float32),
+            jax.ShapeDtypeStruct((N, DI, HC), jnp.float32),
+            jax.ShapeDtypeStruct((N, DK, HC), jnp.float32),
+            jax.ShapeDtypeStruct((N, DK, HC), jnp.float32),
             jax.ShapeDtypeStruct((N, 1, HC), jnp.float32),
             jax.ShapeDtypeStruct((L * K, L * HC), jnp.float32),
             jax.ShapeDtypeStruct((1, HC), jnp.float32),
         )
         if i_chunk is not None:
-            kern = functools.partial(_bwd_kernel_ichunk, BA=BA, D=D, H=H,
-                                     C=C, L=L, K=K, IC=i_chunk, **kflags)
+            kern = functools.partial(_bwd_kernel_ichunk, BA=BA, DK=DK,
+                                     H=H, C=C, L=L, K=K, IC=i_chunk,
+                                     **kflags)
             in_specs = [cspecs["q"], cspecs["kv"], cspecs["kv"],
                         cspecs["e"], cspecs["rbf"], cspecs["w"],
                         cspecs["b"], cspecs["z"], cspecs["z"]]
@@ -619,15 +686,15 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                            cspecs["e"], cspecs["w"], cspecs["b"]),
                 out_shape=out_shapes,
                 scratch_shapes=[
-                    pltpu.VMEM((BA, D, L * HC), jnp.float32)],
+                    pltpu.VMEM((BA, DK, L * HC), jnp.float32)],
                 interpret=interp,
             )(*operands)
         else:
-            kern = functools.partial(_bwd_kernel, BA=BA, D=D, H=H, C=C,
-                                     L=L, K=K, **kflags)
-            in_specs = [specs["q"], specs["q"], specs["q"], specs["e"],
+            kern = functools.partial(_bwd_kernel, BA=BA, DI=DI, DK=DK,
+                                     H=H, C=C, L=L, K=K, **kflags)
+            in_specs = [specs["q"], specs["kv"], specs["kv"], specs["e"],
                         specs["rbf"], specs["w"], specs["b"], specs["z"],
-                        specs["ids"], specs["ids"]]
+                        specs["ids_i"], specs["ids_k"]]
             operands = [q_blk, k_blk, v_blk, e_atom3, rbf_blk, w_bd,
                         s_bias, z, aux_a, aux_b]
             if HAS_DROP:
@@ -642,8 +709,8 @@ def pallas_blocked_attention(q_blk, k_blk, v_blk, e_atom, rbf_blk, w_bd,
                 kern,
                 grid=(n_blocks,),
                 in_specs=in_specs,
-                out_specs=(specs["q"], specs["q"], specs["q"], specs["e"],
-                           specs["w"], specs["b"]),
+                out_specs=(specs["q"], specs["kv"], specs["kv"],
+                           specs["e"], specs["w"], specs["b"]),
                 out_shape=out_shapes,
                 interpret=interp,
             )(*operands)
