@@ -139,17 +139,21 @@ def main():
     in2out_flat = jnp.asarray(in2out_np)
     # per-edge inputs in the in-layout (the model keeps them there)
     q_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
-    k_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
-    v_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
+    # x_in = the GATED source features; the model re-indexes them in->out
+    # ONCE and projects K/V in the out layout (nn/conv.py round 5), so
+    # the benchmarked op is 1 gather + 2 projections + kernel
+    x_in = jnp.asarray(rng.normal(size=(N, D, H * C)), f32)
+    Wk = jnp.asarray(rng.normal(size=(H * C, H * C)), f32) * 0.1
+    Wv = jnp.asarray(rng.normal(size=(H * C, H * C)), f32) * 0.1
     rbf_in = jnp.asarray(rng.normal(size=(N * D, L * K_rad)), f32)
     rbf_out = injective_gather(rbf_in, out2in, in2out_flat, in_mask_flat)
 
-    def pal_loss(q_in, k_in, v_in):
+    def pal_loss(q_in, x_in):
         w_bd = expand_block_diagonal(W_sbf, L, K_rad, H * C)
-        k_out = injective_gather(k_in.reshape(N * D, H * C), out2in,
+        x_out = injective_gather(x_in.reshape(N * D, H * C), out2in,
                                  in2out_flat, in_mask_flat)
-        v_out = injective_gather(v_in.reshape(N * D, H * C), out2in,
-                                 in2out_flat, in_mask_flat)
+        k_out = x_out @ Wk
+        v_out = x_out @ Wv
         out = pallas_blocked_attention(
             q_in, k_out, v_out,
             e_atom.reshape(N, H * C),
@@ -167,12 +171,12 @@ def main():
     log(f"degree split: n_hi={n_hi} d_lo={d_lo} (N={N} D={D}); "
         f"tiers={tiers}")
 
-    def pal_split_loss(q_in, k_in, v_in):
+    def pal_split_loss(q_in, x_in):
         w_bd = expand_block_diagonal(W_sbf, L, K_rad, H * C)
-        k_out = injective_gather(k_in.reshape(N * D, H * C), out2in,
+        x_out = injective_gather(x_in.reshape(N * D, H * C), out2in,
                                  in2out_flat, in_mask_flat)
-        v_out = injective_gather(v_in.reshape(N * D, H * C), out2in,
-                                 in2out_flat, in_mask_flat)
+        k_out = x_out @ Wk
+        v_out = x_out @ Wv
         e_a = e_atom.reshape(N, H * C)
         bias = s_bias.reshape(1, H * C)
         # pad+concat assembly (NOT .at[].set: >= 3 kernels feeding DUS
@@ -206,20 +210,19 @@ def main():
     t_blk = time_fn(blk_step, q, k, v)
     log(f"blocked (atom-dense) fwd+bwd: {t_blk * 1e3:.3f} ms "
         f"-> {real_T / t_blk / 1e6:.1f} M triplets/s")
-    pal_step = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2)))
-    t_pal = time_fn(pal_step, q_in, k_in, v_in)
+    pal_step = jax.jit(jax.grad(pal_loss, argnums=(0, 1)))
+    t_pal = time_fn(pal_step, q_in, x_in)
     log(f"blocked (pallas fused) fwd+bwd: {t_pal * 1e3:.3f} ms "
         f"-> {real_T / t_pal / 1e6:.1f} M triplets/s")
     # bf16 storage variant (diagnostic): same math, half the gather bytes
     bf16 = jnp.bfloat16
-    t_pal16 = time_fn(pal_step, q_in.astype(bf16), k_in.astype(bf16),
-                      v_in.astype(bf16))
-    log(f"blocked (pallas, bf16 q/k/v) fwd+bwd: {t_pal16 * 1e3:.3f} ms "
+    t_pal16 = time_fn(pal_step, q_in.astype(bf16), x_in.astype(bf16))
+    log(f"blocked (pallas, bf16 q/x) fwd+bwd: {t_pal16 * 1e3:.3f} ms "
         f"-> {real_T / t_pal16 / 1e6:.1f} M triplets/s")
     t_pal2 = t_pal
     if tiers:
-        pal2_step = jax.jit(jax.grad(pal_split_loss, argnums=(0, 1, 2)))
-        t_pal2 = time_fn(pal2_step, q_in, k_in, v_in)
+        pal2_step = jax.jit(jax.grad(pal_split_loss, argnums=(0, 1)))
+        t_pal2 = time_fn(pal2_step, q_in, x_in)
         log(f"blocked (pallas, degree-split) fwd+bwd: {t_pal2 * 1e3:.3f} "
             f"ms -> {real_T / t_pal2 / 1e6:.1f} M triplets/s")
 
@@ -292,7 +295,7 @@ def main():
         b_fwd = (3 * N * D * HC + N * D * L_ * K_ + N * D * D
                  + N * HC + N * D * HC) * 4.0
         fwd_fn = jax.jit(pal_split_loss if tiers else pal_loss)
-        t_fwd = time_fn(fwd_fn, q_in, k_in, v_in)
+        t_fwd = time_fn(fwd_fn, q_in, x_in)
         mfu = f_fwd / t_fwd / PEAK_BF16
         ai = f_fwd / b_fwd
         balance = PEAK_BF16 / HBM_BW
@@ -421,8 +424,9 @@ def _workload_sweep(log, time_fn):
         in2out_flat = jnp.asarray(in2out_np)
         in_mask_flat = jnp.asarray(batch.in_mask.reshape(-1))
         q_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
-        k_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
-        v_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
+        x_in = jnp.asarray(rng.normal(size=(N, D, HC)), f32)
+        Wk = jnp.asarray(rng.normal(size=(HC, HC)), f32) * 0.1
+        Wv = jnp.asarray(rng.normal(size=(HC, HC)), f32) * 0.1
         rbf_in = jnp.asarray(rng.normal(size=(N * D, L * K_rad)), f32)
         rbf_out = injective_gather(rbf_in, out2in, in2out_flat,
                                    in_mask_flat)
@@ -430,12 +434,14 @@ def _workload_sweep(log, time_fn):
         tiers = batch.tiers or (((n_hi, D, D), (N, d_lo, d_lo))
                                 if n_hi and d_lo else ((N, D, D),))
 
-        def pal_loss(q_in, k_in, v_in):
+        def pal_loss(q_in, x_in):
+            # model structure (nn/conv.py round 5): ONE in->out gather
+            # of the gated features + K/V projections in the out layout
             w_bd = expand_block_diagonal(W_sbf, L, K_rad, HC)
-            k_out = injective_gather(k_in.reshape(N * D, HC), out2in,
+            x_out = injective_gather(x_in.reshape(N * D, HC), out2in,
                                      in2out_flat, in_mask_flat)
-            v_out = injective_gather(v_in.reshape(N * D, HC), out2in,
-                                     in2out_flat, in_mask_flat)
+            k_out = x_out @ Wk
+            v_out = x_out @ Wv
             pieces = []
             b0 = 0
             for (b1, di, dk) in tiers:
@@ -455,15 +461,15 @@ def _workload_sweep(log, time_fn):
             return (jnp.concatenate(pieces, axis=0) ** 2).sum()
 
         fwd_fn = jax.jit(pal_loss)
-        grad_fn = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2)))
-        t_fwd = time_fn(fwd_fn, q_in, k_in, v_in,
+        grad_fn = jax.jit(jax.grad(pal_loss, argnums=(0, 1)))
+        t_fwd = time_fn(fwd_fn, q_in, x_in,
                         iters=10 if bs >= 256 else 20)
         # median of 3 timing runs: tunnel timing noise put round-over-
         # round headline swings of ~1.5x on identical code (VERDICT r3
         # weak #6); the median of three independent averages is stable
         # to ~10%
         t_fb = float(np.median([
-            time_fn(grad_fn, q_in, k_in, v_in,
+            time_fn(grad_fn, q_in, x_in,
                     iters=10 if bs >= 256 else 20)
             for _ in range(3)]))
         # HBM bytes, fwd: q/k/v + rbf_env reads, z, e_atom, out write

@@ -249,19 +249,26 @@ class BlockedEdgeAttentionConv(nn.Module):
 
         q = TorchDense(self.channels, dtype=self.dtype,
                        name="lin_query")(x_dst)
-        k_in = TorchDense(self.channels, dtype=self.dtype,
-                          name="lin_key")(x_src)
-        v_in = TorchDense(self.channels, dtype=self.dtype,
-                          name="lin_value")(x_src)
         e_atom = TorchDense(self.channels, use_bias=False, dtype=self.dtype,
                             name="lin_edge")(atom_edge_attr)
         w_sbf, b_sbf = _LinearParams(L * K, self.channels,
                                      name="lin_sbf")()
 
-        k_out = injective_gather(k_in.reshape(N * D, self.channels),
-                                 out2in, in2out_flat, in_mask_flat)
-        v_out = injective_gather(v_in.reshape(N * D, self.channels),
-                                 out2in, in2out_flat, in_mask_flat)
+        # ONE in->out re-index of the gated source features, then the
+        # K/V projections run directly in the out layout (row-wise
+        # Dense commutes with the injective gather — identical values
+        # on real rows; pad rows carry the bias but every consumer
+        # masks pairs, and the kernel's dk/dv are zero there so the
+        # bias gradient is unaffected). Halves the irregular-gather
+        # bytes per layer vs projecting first and gathering K and V
+        # separately (round 5; the gathers are ~25% of the saturated
+        # kernel benchmark).
+        x_src_out = injective_gather(x_src.reshape(N * D, self.channels),
+                                     out2in, in2out_flat, in_mask_flat)
+        k_out = TorchDense(self.channels, dtype=self.dtype,
+                           name="lin_key")(x_src_out)
+        v_out = TorchDense(self.channels, dtype=self.dtype,
+                           name="lin_value")(x_src_out)
 
         drop_active = self.dropout > 0.0 and not deterministic
         use_pallas = self.use_pallas

@@ -105,7 +105,7 @@ def _heads_bcast(x_h, Mind):
 
 
 def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
-                    BA, DI, DK, H, C, L, drop=None):
+                    BA, DI, DK, H, C, L, drop=None, want_out=True):
     """Forward math for a whole atom block, vectorized over BA atoms (the
     VPU is fed (BA*DI*DK, HC) slabs instead of per-atom crumbs).
     q: (BA, DI, HC); k/v: (BA, DK, HC); z/valid: (BA, DI, DK);
@@ -153,11 +153,13 @@ def _attention_core(q, k, v, z, valid, G_flat, s_bias, Mind,
         Gl = jax.lax.slice_in_dim(G_flat, l * HC, (l + 1) * HC, axis=2)
         s = s + (jnp.expand_dims(P[l], -1)
                  * jnp.expand_dims(Gl, 1))
-    msg = jnp.expand_dims(v, 1) * s * ex_rep
-    out = msg.sum(axis=2)                              # (BA, DI, HC)
-    # normalize per query row: (BA, DI, H) -> broadcast to HC lanes
-    rnorm_rep = _heads_bcast(rnorm.reshape(BA * DI, H), Mind)
-    out = out * rnorm_rep.reshape(BA, DI, HC)
+    out = None
+    if want_out:
+        msg = jnp.expand_dims(v, 1) * s * ex_rep
+        out = msg.sum(axis=2)                          # (BA, DI, HC)
+        # normalize per query row: (BA, DI, H) -> broadcast to HC lanes
+        rnorm_rep = _heads_bcast(rnorm.reshape(BA * DI, H), Mind)
+        out = out * rnorm_rep.reshape(BA, DI, HC)
     return ex, ex_rep, rnorm, s, out
 
 
@@ -230,7 +232,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, e_ref, rbf_ref, w_ref, b_ref, z_ref,
     drop = None if drop_ref is None else drop_ref[:]
     ex, ex_rep, rnorm, sfull, _ = _attention_core(
         q, k, v, z, valid, G_flat, bias, Mind, BA, DI, DK, H, C, L,
-        drop=drop)
+        drop=drop, want_out=False)   # the fwd output is not a bwd input
     alpha = ex * rnorm                   # normalized pre-dropout weights
     g = g_ref[:]                                         # (BA, DI, HC)
 
