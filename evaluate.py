@@ -176,7 +176,9 @@ def main(argv=None):
     model = X2GNN(mcfg)
     trainer = Trainer(model, mcfg, tcfg, graphs, targets, std=std)
     state = trainer.restore(args.ckpt)
-    params = state.params if args.use_live_params else state.ema.params
+    # _ema_tree unravels flat-EMA checkpoints (fused-update runs, r5)
+    params = (state.params if args.use_live_params
+              else trainer._ema_tree(state))
 
     eval_step = jax.jit(lambda p, b: (
         masked_mae(model.apply(p, b), b.y, mask=b.graph_mask, scale=std),

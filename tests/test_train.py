@@ -533,3 +533,90 @@ def test_host_cache_batches_matches_device_cache(tmp_path, rng):
     l_dev = fit(True, "dev")
     l_host = fit("host", "host")
     np.testing.assert_allclose(l_host, l_dev, rtol=1e-6)
+
+
+def test_flat_ema_matches_tree_ema(make_molecule, rng):
+    """Flat EMA (round 5: the EMA rides ONE vector when fused_update is
+    on) must equal the tree EMA after unraveling, across several steps
+    including the count==0 copy-through."""
+    import jax
+    import jax.numpy as jnp
+    from x2gnn_tpu.train.ema import ema_init, ema_update, ema_unravel_fn
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.config import ModelConfig
+    from x2gnn_tpu.data.batching import pad_graphs, pad_budget_for
+    from x2gnn_tpu.data.graphs import build_mol_graph
+
+    numbers, pos = make_molecule(n_atoms=6)
+    g = build_mol_graph(numbers, pos, y=np.array([0.0]), edge_feat_dim=8)
+    batch = pad_graphs([g], pad_budget_for([g], 1))
+    cfg = ModelConfig(attention_layout="segment", conv_layers=1,
+                      in_channels=16, embedding_size=16, heads=2,
+                      sbf_dim=2, rbf_dim=3, edge_feat_dim=8)
+    params = X2GNN(cfg).init(jax.random.PRNGKey(0), batch)
+    tree_ema = ema_init(params)
+    flat_ema = ema_init(params, flat=True)
+    unravel = ema_unravel_fn(params)
+    p = params
+    for step in range(3):
+        p = jax.tree_util.tree_map(lambda x: x + 0.1 * (step + 1), p)
+        tree_ema = ema_update(tree_ema, p, 0.9)
+        flat_ema = ema_update(flat_ema, p, 0.9)
+        rebuilt = unravel(flat_ema.params)
+        for a, b in zip(jax.tree_util.tree_leaves(rebuilt),
+                        jax.tree_util.tree_leaves(tree_ema.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        assert int(flat_ema.count) == int(tree_ema.count) == step + 1
+
+
+def test_restore_adapts_ema_representation(make_molecule, rng, tmp_path):
+    """A tree-EMA checkpoint restored by a fused-update (flat-EMA)
+    trainer — and vice versa — adapts instead of crashing; the EMA
+    values survive the representation change (round 5)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+
+    graphs = synthetic_dataset(8, mean_atoms=8, seed=3, edge_feat_dim=8)
+    y = np.array([g.y[0] for g in graphs], np.float32)
+    y = (y - y.mean()) / (y.std() + 1e-9)
+    mcfg = ModelConfig(attention_layout="blocked", conv_layers=1,
+                       in_channels=16, embedding_size=16, heads=2,
+                       sbf_dim=2, rbf_dim=3, edge_feat_dim=8,
+                       use_pallas=False)
+    tcfg = TrainConfig(batch_size=4, division=[2, 4], max_epoch=1,
+                       warmup_steps=2, ckpt_after_epoch=0,
+                       fused_update=False)
+    model = X2GNN(mcfg)
+    tr = Trainer(model, mcfg, tcfg, graphs, y, workdir=str(tmp_path))
+    state = tr.init_state()
+    state, _ = tr.run_epoch(state)
+    from x2gnn_tpu.train.checkpoint import save_checkpoint
+    ckpt = str(tmp_path / "ckpt_x")
+    save_checkpoint(ckpt, state)
+
+    # restore the TREE checkpoint with a FLAT (fused-update) trainer
+    tr2 = Trainer(model, mcfg, dataclasses.replace(tcfg,
+                                                   fused_update=True),
+                  graphs, y, workdir=str(tmp_path / "w2"))
+    st2 = tr2.restore(ckpt)
+    assert isinstance(st2.ema.params, jnp.ndarray)
+    rebuilt = tr2._ema_tree(st2)
+    for a, b in zip(jax.tree_util.tree_leaves(rebuilt),
+                    jax.tree_util.tree_leaves(state.ema.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # the flat state steps (structure matches the fused step)
+    st2, loss = tr2.run_epoch(st2)
+    assert np.isfinite(loss)
+
+    # and the reverse direction: flat checkpoint -> tree trainer
+    ckpt2 = str(tmp_path / "ckpt_flat")
+    save_checkpoint(ckpt2, st2)
+    st3 = tr.restore(ckpt2)
+    assert not isinstance(st3.ema.params, jnp.ndarray)

@@ -166,6 +166,14 @@ class Predictor:
         restored = restore_checkpoint(ckpt_path)
         params = (_leaf(_leaf(restored, "ema"), "params")
                   if use_ema else _leaf(restored, "params"))
+        import numpy as _np
+        if use_ema and _np.ndim(params) == 1:
+            # flat-EMA checkpoint (fused-update runs, round 5): the live
+            # params share the EMA's tree structure — borrow its unravel
+            import jax.numpy as _jnp
+            from jax.flatten_util import ravel_pytree
+            unravel = ravel_pytree(_leaf(restored, "params"))[1]
+            params = unravel(_jnp.asarray(params))
         return cls(model_cfg, params, **kw)
 
     @classmethod

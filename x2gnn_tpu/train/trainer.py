@@ -266,7 +266,15 @@ class Trainer:
         probe = next(self._batches(self.train_idx[: self.tcfg.batch_size]))
         params = self.model.init(jax.random.PRNGKey(rng_seed), probe)
         opt_state = self.optimizer.init(params)
-        return TrainState(params, opt_state, ema_init(params),
+        # flat EMA rides the fused-update flag (round 5): the leaf-wise
+        # EMA tree was the remaining half of the leafy per-step cost;
+        # the tree is reconstructed only at eval time (_ema_tree)
+        flat_ema = bool(getattr(self.tcfg, "fused_update", False))
+        if flat_ema:
+            from x2gnn_tpu.train.ema import ema_unravel_fn
+            self._ema_unravel = ema_unravel_fn(params)
+        return TrainState(params, opt_state,
+                          ema_init(params, flat=flat_ema),
                           jnp.zeros((), jnp.int32),
                           jnp.zeros((), jnp.int32))
 
@@ -501,8 +509,15 @@ class Trainer:
         count = sum(int(g) for g in counts)
         return state, total / max(count, 1)
 
+    def _ema_tree(self, state: TrainState):
+        """EMA parameters as a tree (unravels the flat-EMA vector)."""
+        ep = state.ema.params
+        if isinstance(ep, jnp.ndarray) and ep.ndim == 1:
+            return self._ema_unravel(ep)
+        return ep
+
     def evaluate(self, state: TrainState, idx) -> float:
-        accum = [self._eval_step(state.ema.params, batch)
+        accum = [self._eval_step(self._ema_tree(state), batch)
                  for batch in self._device_batches(idx)]
         accum = jax.device_get(accum)   # bulk fetch, not a sync per batch
         total = sum(float(err) for err, _ in accum)
@@ -668,5 +683,40 @@ class Trainer:
     # ---- resume ----------------------------------------------------------
     def restore(self, path: str) -> TrainState:
         template = self.init_state()
-        restored = restore_checkpoint(path, template)
-        return jax.tree_util.tree_map(jnp.asarray, restored)
+        try:
+            restored = restore_checkpoint(path, template)
+            return jax.tree_util.tree_map(jnp.asarray, restored)
+        except Exception:
+            # EMA-representation mismatch (a tree-EMA checkpoint resumed
+            # under the flat-EMA fused-update path, or vice versa):
+            # restore raw and adapt the EMA side to the template's.
+            from x2gnn_tpu.infer import _leaf
+            from x2gnn_tpu.train.ema import EmaState
+            raw = restore_checkpoint(path)
+            params = jax.tree_util.tree_map(
+                jnp.asarray, _leaf(raw, "params"))
+            ema_p = _leaf(_leaf(raw, "ema"), "params")
+            want_flat = (isinstance(template.ema.params, jnp.ndarray)
+                         and template.ema.params.ndim == 1)
+            import numpy as np_
+            have_flat = np_.ndim(ema_p) == 1 and not isinstance(
+                ema_p, dict)
+            if want_flat and not have_flat:
+                from jax.flatten_util import ravel_pytree
+                ema_p = ravel_pytree(jax.tree_util.tree_map(
+                    jnp.asarray, ema_p))[0]
+            elif have_flat and not want_flat:
+                from x2gnn_tpu.train.ema import ema_unravel_fn
+                ema_p = ema_unravel_fn(params)(jnp.asarray(ema_p))
+            else:
+                ema_p = jax.tree_util.tree_map(jnp.asarray, ema_p)
+            ema = EmaState(ema_p, jnp.asarray(
+                _leaf(_leaf(raw, "ema"), "count")))
+            # the optimizer state structure also differs across the
+            # fused flag; re-initialize it (Adam moments restart — the
+            # plateau controller and EMA carry the training signal)
+            opt_state = self.optimizer.init(params)
+            return TrainState(
+                params, opt_state, ema,
+                jnp.asarray(_leaf(raw, "step")),
+                jnp.asarray(_leaf(raw, "bad_steps")))
