@@ -75,8 +75,10 @@ def parse_args(argv=None):
     p.add_argument("--bucket-shapes", type=int, default=None,
                    help="size-bucketed batch budgets: group molecules by "
                         "size and compile N quantized batch shapes "
-                        "instead of one worst-case shape (single-device; "
-                        "raises occupancy on heterogeneous datasets)")
+                        "instead of one worst-case shape (raises occupancy "
+                        "on heterogeneous datasets; on a mesh the "
+                        "run auto-upgrades to --pack-mixed, whose "
+                        "single shape stacks across devices)")
     p.add_argument("--pack-budget", action="store_true",
                    help="with --bucket-shapes: pack each batch to its "
                         "class budget (variable molecules per step, "
