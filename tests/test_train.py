@@ -620,3 +620,38 @@ def test_restore_adapts_ema_representation(make_molecule, rng, tmp_path):
     save_checkpoint(ckpt2, st2)
     st3 = tr.restore(ckpt2)
     assert not isinstance(st3.ema.params, jnp.ndarray)
+
+
+def test_feat_dtype_int8_close_to_f32(make_molecule, rng, tmp_path):
+    """int8 wire features (per-edge scales, round 5): one epoch's loss
+    tracks the f32 run closely — quantization is ~0.8% input rounding
+    on bounded integral features, not a training-dynamics change."""
+    from x2gnn_tpu.config import ModelConfig, TrainConfig
+    from x2gnn_tpu.data.synthetic import synthetic_dataset
+    from x2gnn_tpu.models import X2GNN
+    from x2gnn_tpu.train.trainer import Trainer
+
+    graphs = synthetic_dataset(16, mean_atoms=8, seed=5, edge_feat_dim=8)
+    y = np.array([g.y[0] for g in graphs], np.float32)
+    y = (y - y.mean()) / (y.std() + 1e-9)
+    mcfg = ModelConfig(attention_layout="blocked", conv_layers=2,
+                       in_channels=32, embedding_size=32, heads=4,
+                       sbf_dim=3, rbf_dim=4, edge_feat_dim=8,
+                       use_pallas=False)
+    tcfg = TrainConfig(batch_size=8, division=[4, 8], max_epoch=2,
+                       warmup_steps=2)
+    losses = {}
+    for dt in ("float32", "int8"):
+        tr = Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, y,
+                     workdir=str(tmp_path / dt), feat_dtype=dt)
+        state = tr.init_state()
+        state, loss = tr.run_epoch(state)
+        losses[dt] = loss
+        # wire dtype really is int8 (and carries scales)
+        b = next(iter(tr._device_batches(tr.train_idx[:8])))
+        if dt == "int8":
+            assert b.edge_feat.dtype == jnp.int8
+            assert b.edge_feat_scale is not None
+    assert np.isfinite(losses["int8"])
+    assert abs(losses["int8"] - losses["float32"]) < 0.05 * max(
+        abs(losses["float32"]), 1e-6) + 1e-3

@@ -120,12 +120,15 @@ def parse_args(argv=None):
                         "for datasets under ~20k molecules; 'on' forces "
                         "it for large datasets when the batches fit HBM "
                         "(pair with --feat-dtype float16)")
-    p.add_argument("--feat-dtype", choices=["float32", "float16"],
+    p.add_argument("--feat-dtype",
+                   choices=["float32", "float16", "int8"],
                    default="float32",
                    help="integral edge-feature dtype on the wire and in "
                         "the device batch cache; features are bounded "
                         "in [0,~1] so float16 costs ~5e-4 input rounding "
-                        "and halves the dominant transfer/HBM bytes "
+                        "and halves the dominant transfer/HBM bytes; "
+                        "int8 adds per-edge scales (~0.8% rounding) "
+                        "and halves them again for link-bound runs "
                         "(model upcasts to f32 at entry)")
     p.add_argument("--check-determinism", action="store_true",
                    help="before training, run the jitted train step twice "

@@ -104,6 +104,10 @@ class GraphBatch:
                                # one slot in each table, so blocked-layout
                                # gathers are injective and their backward
                                # is a gather too — no scatter anywhere)
+    # per-edge dequantization scale when edge_feat rides the wire as
+    # int8 (feat_dtype='int8', round 5): x = int8 * scale. None for
+    # float wire dtypes (the model multiplies only when present).
+    edge_feat_scale: Optional[np.ndarray] = None
     # static (non-pytree) two-tier degree split: atoms are sorted by
     # descending degree, rows >= n_hi all have degree <= d_lo (0 = off)
     n_hi: int = struct.field(pytree_node=False, default=0)

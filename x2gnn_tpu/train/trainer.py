@@ -126,9 +126,14 @@ class Trainer:
         # infer.py)
         self._with_triplets = model_cfg.attention_layout != "blocked" \
             and edge_partition is None
-        if feat_dtype not in ("float32", "float16"):
-            raise ValueError(f"feat_dtype must be float32/float16, "
+        if feat_dtype not in ("float32", "float16", "int8"):
+            raise ValueError(f"feat_dtype must be float32/float16/int8, "
                              f"got {feat_dtype!r}")
+        if feat_dtype == "int8" and edge_partition:
+            raise ValueError(
+                "feat_dtype='int8' is a blocked/DP wire format; the EP "
+                "batch layout pre-gathers features (make_ep_batch) — "
+                "use float16 there")
         # round-4: fp16 feature wire/cache reaches the EP/hybrid paths
         # too — make_ep_batch preserves fp16 edge features and the
         # sharded forward widens them to f32 at the envelope product
@@ -302,9 +307,25 @@ class Trainer:
         self._totals[key] = stats
 
     def _cast_feat(self, batch):
-        """Edge-feature wire/cache dtype (see __init__ `feat_dtype`)."""
+        """Edge-feature wire/cache dtype (see __init__ `feat_dtype`).
+
+        'int8' (round 5, VERDICT r4 #8): symmetric per-edge
+        quantization — q = round(x * 127 / max|row|), dequantized
+        on-device as q * scale. Halves the dominant wire/cache bytes
+        again vs fp16 (the 134k steady state was link-bound at ~5
+        MB/step); the 338-dim integral rows are bounded and tolerate
+        ~0.8% relative rounding (fp16 tolerance was measured at
+        ~5e-4; int8 accuracy is A/B'd in tests/test_train.py)."""
         if self._feat_dtype == "float32":
             return batch
+        if self._feat_dtype == "int8":
+            x = np.asarray(batch.edge_feat, np.float32)
+            amax = np.abs(x).max(axis=1)
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            q = np.clip(np.rint(x / scale[:, None]), -127, 127)
+            return batch.replace(
+                edge_feat=q.astype(np.int8),
+                edge_feat_scale=scale.astype(np.float32))
         return batch.replace(
             edge_feat=np.asarray(batch.edge_feat, np.float16))
 
