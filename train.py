@@ -68,6 +68,9 @@ def parse_args(argv=None):
                    help="shard each batched graph's ACTIVATIONS over the "
                         "device mesh (graphs larger than one chip); "
                         "'ring' exchanges K/V shard-by-shard via ppermute")
+    p.add_argument("--patience", type=int, default=None,
+                   help="plateau-scheduler patience in epochs "
+                        "(ReduceLROnPlateau semantics)")
     p.add_argument("--dropout", type=float, default=None,
                    help="attention-weight dropout (segment/blocked "
                         "layouts on any parallelism mode; reference "
@@ -194,7 +197,7 @@ def main(argv=None):
     if args.fused_update:
         tcfg = dataclasses.replace(tcfg, fused_update=True)
     for field in ("max_lr", "warmup_steps", "ema_decay", "accum_steps",
-                  "scheduler", "bucket_shapes"):
+                  "scheduler", "bucket_shapes", "patience"):
         v = getattr(args, field)
         if v is not None:
             tcfg = dataclasses.replace(tcfg, **{field: v})
