@@ -5,6 +5,10 @@
 # through the round-4 host-RAM batch cache (assembly paid once per
 # process, batches streamed via background device_put prefetch).
 #
+# Round 5: --feat-dtype int8 (per-edge-scale quantization) halves the
+# per-step wire bytes vs the round-4 fp16 run (82-96 ms/step was
+# link-bound at ~5 MB/step; VERDICT r4 #8).
+#
 # RSS-guarded restart loop (run_flagship.sh pattern): the remote
 # backend leaks host transfer buffers on re-transferring paths
 # (observed OOM at 126 GB after ~5 epochs without the guard);
@@ -14,7 +18,7 @@ set -u
 cd "$(dirname "$0")/.."
 DATA=${1:-processed/synthq134k_6311.npz}
 WD=${2:-runs/ref_scale_134k}
-EPOCHS=${3:-20}
+EPOCHS=${3:-60}
 RSS_LIMIT_KB=${RSS_LIMIT_KB:-95000000}   # 95 GB
 
 for attempt in $(seq 1 50); do
@@ -22,7 +26,7 @@ for attempt in $(seq 1 50); do
     --config configs/ref134k.json --epochs "$EPOCHS" \
     --layout blocked --standardize --scheduler plateau --pack-mixed \
     --atomref-fit --fused-update --cache-batches host \
-    --feat-dtype float16 --ckpt-every 1 --auto-resume \
+    --feat-dtype ${FEAT_DTYPE:-int8} --ckpt-every 1 --auto-resume \
     --ckpt-after-epoch 0 >> "$WD.log" 2>&1 &
   PID=$!
   while kill -0 "$PID" 2>/dev/null; do
