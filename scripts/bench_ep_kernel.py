@@ -62,16 +62,23 @@ def main():
         # on its first call with donated-aliased input buffers — timing
         # from the first warm call catches that compile (~25 s) inside
         # the loop and inflates ms/step ~100x (observed round-4).
-        # Block on the full STATE tree: on the remote-attached backend
-        # block_until_ready(loss) returns when the loss output streams
-        # back, which is BEFORE the parameter updates finish.
+        # Sync by pulling the FINAL loss scalar to the host. Round-5
+        # correction: block_until_ready on DONATED output leaves can
+        # also return early on the remote backend (the aliased buffer
+        # "exists" before the update executes) — at small batches the
+        # whole chain fits in the dispatch pipeline and the loop times
+        # host dispatch (~1 ms/step), not device time; at large batches
+        # queue backpressure happens to give the right answer. The
+        # final step's loss depends on every previous step's full param
+        # update (the chain threads state), so float(loss) is a true
+        # dependency sync for all but the last update.
         state, loss = step(state, batch)
         state, loss = step(state, batch)
-        jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
+        _ = float(loss)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, loss = step(state, batch)
-        jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
+        _ = float(loss)
         return (time.perf_counter() - t0) / iters * 1e3, state
 
     def time_fn(fn, *fargs, iters=30):

@@ -21,6 +21,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 import argparse
 import collections
+import functools
 import glob
 import json
 import os
@@ -49,11 +50,12 @@ def _parse_xplane(path):
 
 
 _GROUPS = (
+    ("async copies (overlap compute)", r"copy-start|copy-done"),
     ("pallas attention kernel", r"custom-call|blocked_attn|__wrapped"),
-    ("matmuls/projections", r"^(fusion.*)?dot|convolution|gemm"),
-    ("gathers/re-index", r"gather|dynamic-slice"),
+    ("matmuls/projections", r"dot\(|convolution|gemm"),
+    ("gathers/re-index", r"gather"),
     ("scatters/updates", r"scatter|dynamic-update"),
-    ("fusions (elementwise/basis/norms)", r"^(loop_)?fusion"),
+    ("fusions (elementwise/basis/norms)", r"fusion"),
     ("copies/transposes", r"copy|transpose|reshape|bitcast|concatenate"),
     ("all-reduce/collectives", r"all-reduce|all-gather|collective"),
     ("convert/select", r"convert|select|compare"),
@@ -109,7 +111,10 @@ def main():
                        ema_init(params, flat=flat_ema),
                        jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    # donate the state like the production trainer step does — without
+    # donation every step pays full param/opt-state copies, which show
+    # up as copy-start events and ~4x the envelope time
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(st, b):
         def loss_fn(p):
             pred = model.apply(p, b)
@@ -123,6 +128,20 @@ def main():
     state, _ = step(state, batch)
     jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
 
+    # wall-clock cross-check OUTSIDE the trace: chained steps; sync by
+    # pulling the FINAL loss to the host. On the remote backend,
+    # block_until_ready on donated output leaves can return before the
+    # update executes, but step N+1's loss depends on step N's full
+    # param update, so float(last_loss) waits for the whole chain
+    # minus the last update.
+    import time
+    t0 = time.perf_counter()
+    loss = None
+    for _ in range(args.steps):
+        state, loss = step(state, batch)
+    _ = float(loss)
+    wall_ms = (time.perf_counter() - t0) / args.steps * 1e3
+
     logdir = os.path.join(args.out, f"trace_bs{B}")
     os.makedirs(logdir, exist_ok=True)
     with trace(logdir):
@@ -130,23 +149,36 @@ def main():
             state, loss = step(state, batch)
         jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
 
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                      recursive=True)
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                             recursive=True))[-1:]   # newest capture only
     print(f"xplane files: {paths}", flush=True)
     result = {"batch": B, "steps": args.steps,
-              "fused_update": bool(args.fused_update)}
+              "fused_update": bool(args.fused_update),
+              "wall_ms_per_step_untraced": round(wall_ms, 4)}
     tables = {}
     for p in paths:
         for plane, agg in _parse_xplane(p).items():
             if not agg:
                 continue
+            # the jit_step envelope event IS the per-step device time;
+            # everything else (fusions, kernels, copy-starts) nests
+            # inside it — summing both double-counts, and async
+            # copy-start spans overlap compute. Report the envelope as
+            # step_ms and the leaf ops as a breakdown of it.
+            env_ps = sum(ps for name, ps in agg.items()
+                         if name.startswith("jit_"))
             groups = collections.Counter()
             for name, ps in agg.items():
+                # skip the envelope and the bare-numeric per-step
+                # line markers (each spans the whole step)
+                if name.startswith("jit_") or name.isdigit():
+                    continue
                 groups[_group(name)] += ps
-            total = sum(groups.values())
+            leaf_total = sum(groups.values())
             tables[plane] = {
-                "total_ms_over_trace": total / 1e9,
-                "per_step_ms": total / 1e9 / args.steps,
+                "step_ms_envelope": round(env_ps / 1e9 / args.steps, 4),
+                "leaf_ops_ms_per_step": round(
+                    leaf_total / 1e9 / args.steps, 4),
                 "groups_ms_per_step": {
                     k: round(v / 1e9 / args.steps, 4)
                     for k, v in groups.most_common()},
