@@ -223,14 +223,16 @@ def test_trainer_bucketed_budgets_learn_and_log(tmp_path):
     assert rec["occupancy_triplets"] > 0.75
     assert 1 <= rec["budget_shapes"] <= 3
     assert rec["triplets_per_sec"] > 0
-    # a mesh with bucketing must refuse loudly
+    # a mesh with bucketing auto-upgrades to mixed-FFD packing (one
+    # shape stacks across devices; round 5, VERDICT r4 #10)
     import jax
     if jax.device_count() > 1:
         from x2gnn_tpu.parallel import make_mesh
         import pytest as _pytest
-        with _pytest.raises(ValueError, match="bucket_shapes"):
-            Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, targets,
-                    workdir=wd, mesh=make_mesh())
+        with _pytest.warns(UserWarning, match="pack-mixed"):
+            tr2 = Trainer(X2GNN(mcfg), mcfg, tcfg, graphs, targets,
+                          workdir=wd, mesh=make_mesh())
+        assert tr2.pack_mixed and tr2.bucket_shapes == 0
 
 
 def test_geometry_standin_matches_featurized_structure():
@@ -407,11 +409,12 @@ def test_trainer_pack_mixed_composes_with_dp_mesh(tmp_path, rng):
     losses = [json.loads(l)["loss"]
               for l in open(tmp_path / "dp" / "metrics.jsonl")]
     assert losses[-1] < losses[0]
-    # multi-shape plans still refuse a mesh
-    with pytest.raises(ValueError, match="single-device"):
-        Trainer(X2GNN(mcfg), mcfg,
-                TrainConfig(batch_size=8, bucket_shapes=4),
-                graphs, y, workdir=str(tmp_path / "x"), mesh=mesh)
+    # multi-shape plans on a mesh auto-upgrade to mixed-FFD packing
+    with pytest.warns(UserWarning, match="pack-mixed"):
+        tr2 = Trainer(X2GNN(mcfg), mcfg,
+                      TrainConfig(batch_size=8, bucket_shapes=4),
+                      graphs, y, workdir=str(tmp_path / "x"), mesh=mesh)
+    assert tr2.pack_mixed and tr2.bucket_shapes == 0
 
 
 def test_trainer_pack_mixed_with_edge_partition(tmp_path, rng):
